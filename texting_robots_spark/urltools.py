@@ -1,0 +1,236 @@
+"""URL parsing/normalization helpers (WHATWG-flavored, dependency-free).
+
+Covers three distinct operations the engine needs:
+
+- ``prepare_url``     — path[?query][#fragment] slice used for robots
+                        matching (reference lib.rs:504-518; keeps query
+                        AND fragment, golden tests test.rs:1206-1240)
+- ``get_robots_url``  — robots.txt URL derivation (reference lib.rs:284-312;
+                        http/https only, strips credentials, keeps
+                        non-default ports — test_get_robots_url.rs)
+- ``canonicalize_url``— engine-specific canonical form for the URL-seen
+                        set / url_hash (north_rule: lowercase host,
+                        scheme/port normalization, sorted query, fragment
+                        strip). NOT the same as prepare_url.
+
+Implemented by hand (not urllib) because the reference follows the WHATWG
+URL model: existing %xx stays verbatim, non-ASCII is UTF-8
+percent-encoded, fragments are preserved for robots matching, and default
+ports are dropped at parse time.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple, Optional
+
+__all__ = [
+    "prepare_url",
+    "get_robots_url",
+    "canonicalize_url",
+    "split_absolute",
+    "UrlParseError",
+]
+
+
+class UrlParseError(ValueError):
+    """URL cannot be parsed / is unsuitable (mirrors the reference's
+    error returns from get_robots_url, lib.rs:288-295)."""
+
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):(.*)$", re.DOTALL)
+_SPECIAL_SCHEMES = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def _encode_with(text: str, extra: frozenset) -> str:
+    """Percent-encode UTF-8 bytes: controls, DEL, non-ASCII, and ``extra``
+    ASCII chars. '%' is never encoded (existing sequences stay verbatim)."""
+    out = []
+    for b in text.encode("utf-8"):
+        if b <= 0x1F or b >= 0x7F or chr(b) in extra:
+            out.append("%%%02X" % b)
+        else:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# WHATWG percent-encode sets (fragment ⊂ path ⊂ ...), '%' excluded everywhere
+_FRAGMENT_SET = frozenset(' "<>`')
+_PATH_SET = _FRAGMENT_SET | frozenset("#?{}^")
+_QUERY_SET = frozenset(' "<>#') | frozenset("'")
+
+
+def _remove_dot_segments(path: str) -> str:
+    """WHATWG/RFC3986 dot-segment removal over a '/'-separated path."""
+    if "." not in path:
+        return path
+    output = []
+    for seg in path.split("/"):
+        if seg in (".", "%2e", "%2E"):
+            continue
+        if seg in ("..", "%2e.", ".%2e", "%2e%2e", "%2E%2E", ".%2E", "%2E."):
+            if len(output) > 1:
+                output.pop()
+            continue
+        output.append(seg)
+    # preserve a trailing slash when the last segment was '.'/'..'
+    last = path.rsplit("/", 1)[-1]
+    if last in (".", "..", "%2e", "%2E", "%2e%2e", "%2E%2E") and (
+        not output or output[-1] != ""
+    ):
+        output.append("")
+    result = "/".join(output)
+    if not result.startswith("/"):
+        result = "/" + result
+    return result
+
+
+class SplitUrl(NamedTuple):
+    scheme: str
+    userinfo: str
+    host: str
+    port: Optional[int]
+    path: str
+    query: Optional[str]
+    fragment: Optional[str]
+
+
+def split_absolute(url: str) -> Optional[SplitUrl]:
+    """Split an absolute special-scheme URL into normalized components.
+
+    Returns None when ``url`` has no scheme (i.e. is relative). Raises
+    UrlParseError for an unusable authority (empty host, bad port).
+    Non-special schemes (mailto:, ipfs:, ...) are returned with an empty
+    host and the remainder as an opaque path.
+    """
+    m = _SCHEME_RE.match(url)
+    if m is None:
+        return None
+    scheme = m.group(1).lower()
+    rest = m.group(2)
+    if scheme not in _SPECIAL_SCHEMES:
+        # opaque / cannot-be-base style: path is the raw remainder
+        return SplitUrl(scheme, "", "", None, rest, None, None)
+    # special scheme: skip any run of slashes/backslashes, then authority
+    i = 0
+    while i < len(rest) and rest[i] in "/\\":
+        i += 1
+    j = i
+    while j < len(rest) and rest[j] not in "/\\?#":
+        j += 1
+    authority = rest[i:j]
+    tail = rest[j:]
+    # userinfo: everything before the LAST '@'
+    userinfo, sep, hostport = authority.rpartition("@")
+    if not sep:
+        hostport = authority
+        userinfo = ""
+    # host[:port] — minimal IPv6 bracket support
+    if hostport.startswith("["):
+        close = hostport.find("]")
+        if close == -1:
+            raise UrlParseError(f"invalid IPv6 host in {url!r}")
+        host = hostport[: close + 1]
+        port_s = hostport[close + 1 :]
+        if port_s.startswith(":"):
+            port_s = port_s[1:]
+        elif port_s:
+            raise UrlParseError(f"invalid authority in {url!r}")
+    else:
+        host, _, port_s = hostport.partition(":")
+    if not host:
+        raise UrlParseError(f"empty host in {url!r}")
+    port: Optional[int] = None
+    if port_s:
+        if not port_s.isdigit():
+            raise UrlParseError(f"invalid port in {url!r}")
+        port = int(port_s)
+        if port > 65535:
+            raise UrlParseError(f"port out of range in {url!r}")
+        if port == _SPECIAL_SCHEMES[scheme]:
+            port = None  # WHATWG drops the scheme-default port at parse time
+    host = host.lower()
+    # split path / query / fragment
+    frag: Optional[str] = None
+    query: Optional[str] = None
+    hash_at = tail.find("#")
+    if hash_at != -1:
+        frag = tail[hash_at + 1 :]
+        tail = tail[:hash_at]
+    q_at = tail.find("?")
+    if q_at != -1:
+        query = tail[q_at + 1 :]
+        tail = tail[:q_at]
+    path = tail.replace("\\", "/")
+    path = _remove_dot_segments(path) if path else "/"
+    path = _encode_with(path, _PATH_SET)
+    return SplitUrl(scheme, userinfo, host, port, path, query, fragment=frag)
+
+
+def prepare_url(raw_url: str) -> str:
+    """Extract ``path[?query][#fragment]`` for robots matching
+    (reference lib.rs:504-518).
+
+    Absolute URLs are parsed and serialized from the path onward (the
+    WHATWG serialization percent-encodes as needed but leaves existing
+    %xx verbatim); anything unparseable is treated as an
+    already-relative URL and percent-encoded as-is; empty input is '/'.
+    """
+    if raw_url == "":
+        return "/"
+    try:
+        parts = split_absolute(raw_url)
+    except UrlParseError:
+        parts = None
+    if parts is None:
+        # relative: percent-encode with the reference's FRAGMENT set
+        return _encode_with(raw_url, _FRAGMENT_SET)
+    out = parts.path
+    if parts.query is not None:
+        out += "?" + _encode_with(parts.query, _QUERY_SET)
+    if parts.fragment is not None:
+        out += "#" + _encode_with(parts.fragment, _FRAGMENT_SET)
+    return out
+
+
+def get_robots_url(url: str) -> str:
+    """Derive the robots.txt URL (reference lib.rs:284-312).
+
+    Requires an absolute http/https URL; strips username/password; keeps
+    any non-default port; joins '/robots.txt'. Raises UrlParseError
+    otherwise (relative input, wrong scheme, empty host, bad port).
+    """
+    parts = split_absolute(url)
+    if parts is None:
+        raise UrlParseError(f"relative URL cannot be a base: {url!r}")
+    if parts.scheme not in ("http", "https"):
+        raise UrlParseError(f"unsupported scheme for robots.txt: {url!r}")
+    netloc = parts.host
+    if parts.port is not None:
+        netloc += f":{parts.port}"
+    return f"{parts.scheme}://{netloc}/robots.txt"
+
+
+def canonicalize_url(url: str) -> Optional[str]:
+    """Canonical URL for the seen-set hash (north_rule): lowercase
+    scheme/host, default port dropped, dot-segments resolved, query
+    params sorted (stable for equal keys), fragment stripped.
+
+    Returns None for relative / non-http(s) / unparseable input —
+    callers drop such links from the frontier.
+    """
+    try:
+        parts = split_absolute(url.strip())
+    except UrlParseError:
+        return None
+    if parts is None or parts.scheme not in ("http", "https"):
+        return None
+    netloc = parts.host
+    if parts.port is not None:
+        netloc += f":{parts.port}"
+    out = f"{parts.scheme}://{netloc}{parts.path}"
+    if parts.query:
+        params = sorted(parts.query.split("&"))
+        out += "?" + _encode_with("&".join(params), _QUERY_SET)
+    return out
