@@ -4,7 +4,13 @@ Robots gate semantics reproduce the reference Texting Robots library
 (/root/reference, Smerity/texting_robots v0.2.2); see SURVEY.md.
 """
 
-from .robots_core import Robot, RobotsParseError, RulePattern, parse_robots_txt
+from .robots_core import (
+    Robot,
+    RobotsParseError,
+    RulePattern,
+    compile_robots,
+    parse_robots_txt,
+)
 from .urltools import canonicalize_url, get_robots_url, prepare_url, UrlParseError
 
 __all__ = [
@@ -12,6 +18,7 @@ __all__ = [
     "RobotsParseError",
     "RulePattern",
     "parse_robots_txt",
+    "compile_robots",
     "canonicalize_url",
     "get_robots_url",
     "prepare_url",

@@ -49,6 +49,8 @@ __all__ = [
     "RulePattern",
     "Robot",
     "parse_robots_txt",
+    "compile_robots",
+    "check_pattern_budget",
     "percent_encode",
     "match_stars",
 ]
@@ -343,6 +345,109 @@ from .urltools import prepare_url  # noqa: E402  (shared with Spark UDFs)
 # ---------------------------------------------------------------------------
 
 
+def check_pattern_budget(pattern: str) -> None:
+    """Raise RobotsParseError when a '$'-pattern exceeds the emulated
+    42 KiB regex compile budget (minregex.rs:76-81) — shared by
+    RulePattern and the Spark rule-extraction path."""
+    if "$" in pattern:
+        collapsed = _STAR_RUN.sub("*", pattern)
+        if len(collapsed) > _REGEX_BUDGET_CHARS:
+            raise RobotsParseError(
+                f"rule pattern exceeds regex compile budget: {pattern[:64]!r}..."
+            )
+
+
+def compile_robots(
+    agent: str, txt: bytes
+) -> Tuple[List[Tuple[str, bool]], Optional[float], List[str]]:
+    """Full reference pipeline (lib.rs:351-502) minus matcher objects.
+
+    Returns ``(rules, delay, sitemaps)`` where ``rules`` is the
+    precedence-sorted list of (percent-encoded pattern, is_allow) pairs:
+    longest original pattern first, Allow before Disallow on ties, stable.
+    Raises RobotsParseError when any rule exceeds the regex budget (the
+    reference rejects the whole file, lib.rs:490-497).
+
+    This is the single entry point both the pure-Python Robot and the
+    Spark parse_robots UDF build on.
+    """
+    # NUL scrub (lib.rs:353-357)
+    if b"\x00" in txt:
+        txt = txt.replace(b"\x00", b"\n")
+    lines = parse_robots_txt(txt)
+
+    # Sitemaps are global; non-UTF-8 entries dropped (lib.rs:373-384)
+    sitemaps: List[str] = []
+    for kind, value in lines:
+        if kind == SITEMAP:
+            try:
+                sitemaps.append(value.decode("utf-8"))
+            except UnicodeDecodeError:
+                pass
+
+    # Drop Raw + Sitemap lines BEFORE grouping: merges UA blocks
+    # separated only by junk lines (lib.rs:386-392)
+    filtered = [ln for ln in lines if ln[0] in (UA, ALLOW, DISALLOW, DELAY)]
+
+    # Agent resolution: exact case-insensitive token match, else '*'
+    # (lib.rs:394-403). bytes.lower() is ASCII-only, matching the
+    # reference's to_ascii_lowercase on the UA value.
+    agent_b = agent.lower().encode("utf-8")
+    if not any(kind == UA and value.lower() == agent_b for kind, value in filtered):
+        agent_b = b"*"
+
+    # Group capture scan (lib.rs:405-444)
+    n = len(filtered)
+    capturing = not any(kind == UA for kind, _ in filtered)
+    subset: List[Line] = []
+    idx = 0
+    while idx < n:
+        line = filtered[idx]
+        if line[0] == UA:
+            capturing = False
+            while idx < n and filtered[idx][0] == UA:
+                if filtered[idx][1].lower() == agent_b:
+                    capturing = True
+                idx += 1
+            if idx == n:
+                # trailing UA run: reference pushes the last UA line;
+                # harmless (UA lines carry no rules/delay)
+                line = filtered[idx - 1]
+            else:
+                line = filtered[idx]
+        if capturing:
+            subset.append(line)
+        idx += 1
+
+    # Crawl delay: first delay in the captured subset, else preamble
+    # fallback — last delay before the first UA line (lib.rs:446-467)
+    delay: Optional[float] = next(
+        (v for k, v in subset if k == DELAY and v is not None), None
+    )
+    if delay is None:
+        for kind, value in filtered:
+            if kind == DELAY and value is not None:
+                delay = value
+            if kind == UA:
+                break
+
+    # Rule extraction: percent-encode, budget-check, precedence-sort
+    # (lib.rs:469-499; sort per lib.rs:548-551 + minregex.rs:15-21)
+    rules: List[Tuple[str, bool]] = []
+    for kind, value in subset:
+        if kind not in (ALLOW, DISALLOW):
+            continue
+        try:
+            pat = value.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        pat = percent_encode(pat)
+        check_pattern_budget(pat)
+        rules.append((pat, kind == ALLOW))
+    rules.sort(key=lambda r: (-len(r[0]), not r[1]))
+    return rules, delay, sitemaps
+
+
 class Robot:
     """Compiled, agent-specialized robots.txt artifact.
 
@@ -353,88 +458,9 @@ class Robot:
     __slots__ = ("rules", "delay", "sitemaps")
 
     def __init__(self, agent: str, txt: bytes):
-        # NUL scrub (lib.rs:353-357)
-        if b"\x00" in txt:
-            txt = txt.replace(b"\x00", b"\n")
-        lines = parse_robots_txt(txt)
-
-        # Sitemaps are global; non-UTF-8 entries dropped (lib.rs:373-384)
-        self.sitemaps: List[str] = []
-        for kind, value in lines:
-            if kind == SITEMAP:
-                try:
-                    self.sitemaps.append(value.decode("utf-8"))
-                except UnicodeDecodeError:
-                    pass
-
-        # Drop Raw + Sitemap lines BEFORE grouping: merges UA blocks
-        # separated only by junk lines (lib.rs:386-392)
-        filtered = [ln for ln in lines if ln[0] in (UA, ALLOW, DISALLOW, DELAY)]
-
-        # Agent resolution: exact case-insensitive token match, else '*'
-        # (lib.rs:394-403). Agent lowercased per spec; UA values are
-        # ASCII-lowercased bytes (bytes.lower() is ASCII-only, matching
-        # the reference's to_ascii_lowercase).
-        agent_b = agent.lower().encode("utf-8")
-        if not any(
-            kind == UA and value.lower() == agent_b for kind, value in filtered
-        ):
-            agent_b = b"*"
-
-        # Group capture scan (lib.rs:405-444): consecutive UA lines form a
-        # block; rules after the block belong to every UA in it; a new
-        # block resets capture; a file with no UA lines captures all.
-        n = len(filtered)
-        capturing = not any(kind == UA for kind, _ in filtered)
-        subset: List[Line] = []
-        idx = 0
-        while idx < n:
-            line = filtered[idx]
-            if line[0] == UA:
-                capturing = False
-                while idx < n and filtered[idx][0] == UA:
-                    if filtered[idx][1].lower() == agent_b:
-                        capturing = True
-                    idx += 1
-                if idx == n:
-                    # trailing UA run: reference pushes the last UA line;
-                    # harmless (UA lines carry no rules/delay)
-                    line = filtered[idx - 1]
-                else:
-                    line = filtered[idx]
-            if capturing:
-                subset.append(line)
-            idx += 1
-
-        # Crawl delay: first delay in the captured subset, else preamble
-        # fallback — the last delay before the first UA line (lib.rs:446-467)
-        self.delay: Optional[float] = next(
-            (v for k, v in subset if k == DELAY and v is not None), None
-        )
-        if self.delay is None:
-            for kind, value in filtered:
-                if kind == DELAY and value is not None:
-                    self.delay = value
-                if kind == UA:
-                    break
-
-        # Rule compile: percent-encode then build the 3-tier matcher;
-        # non-UTF-8 patterns skipped; budget errors abort the whole parse
-        # (lib.rs:469-499)
-        rules: List[Tuple[RulePattern, bool]] = []
-        for kind, value in subset:
-            if kind not in (ALLOW, DISALLOW):
-                continue
-            try:
-                pat = value.decode("utf-8")
-            except UnicodeDecodeError:
-                continue
-            rules.append((RulePattern(percent_encode(pat)), kind == ALLOW))
-        # Pre-sort by precedence: longest percent-encoded original pattern
-        # first, Allow before Disallow on ties, stable (lib.rs:548-551,
-        # minregex.rs:15-21). First match in this order decides.
-        rules.sort(key=lambda r: (-len(r[0].pattern), not r[1]))
-        self.rules = rules
+        rules, self.delay, self.sitemaps = compile_robots(agent, txt)
+        # First match in precedence order decides (rules pre-sorted).
+        self.rules = [(RulePattern(pat), is_allow) for pat, is_allow in rules]
 
     def allowed(self, url: str) -> bool:
         """Allow/deny per the captured rules (lib.rs:535-558)."""
