@@ -1,0 +1,116 @@
+"""The entire conformance corpus through the SPARK gate path:
+robots_raw DataFrame -> parse_robots pandas UDF -> broadcast rules ->
+robots_allowed pandas UDF. One DataFrame job checks every (case, url)
+assertion at once — identical semantics to the pure-Python core.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from texting_robots_spark.conformance import CORPUS, UNSET
+from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+
+# every corpus case shares agent per-case; the Spark rules table is built
+# per agent, so group cases by agent and run one job per agent group.
+_AGENTS = sorted({c.agent for c in CORPUS})
+
+
+@pytest.fixture(scope="module")
+def gate_results(spark):
+    """{(case_id, url): allowed} plus rules-table rows per case."""
+    allowed_out = {}
+    rules_out = {}
+    for agent in _AGENTS:
+        cases = [c for c in CORPUS if c.agent == agent]
+        raw = spark.createDataFrame(
+            [(c.case_id, bytearray(c.robots)) for c in cases],
+            "host string, body binary",
+        )
+        rules_df = build_rules(raw, agent)
+        for row in rules_df.collect():
+            rules_out[row["host"]] = row
+        checks = [
+            (c.case_id, url, expected)
+            for c in cases
+            for url, expected in c.allowed
+        ]
+        if not checks:
+            continue
+        cand = spark.createDataFrame(
+            checks, "host string, url string, expected boolean"
+        )
+        bc = RulesBroadcast(spark, rules_df)
+        gated = gate(cand, bc, with_delay=False)
+        for row in gated.collect():
+            allowed_out[(row["host"], row["url"])] = row["allowed"]
+    return allowed_out, rules_out
+
+
+@pytest.mark.parametrize("case", CORPUS, ids=[c.case_id for c in CORPUS])
+def test_spark_gate_corpus(case, gate_results):
+    allowed_out, rules_out = gate_results
+    rules_row = rules_out[case.case_id]
+    if case.parse_error:
+        assert rules_row["parse_error"] is True
+        return
+    assert rules_row["parse_error"] is False
+    for url, expected in case.allowed:
+        got = allowed_out[(case.case_id, url)]
+        assert got == expected, f"{case.case_id}: allowed({url!r})"
+    if case.delay is not UNSET:
+        got_delay = rules_row["delay"]
+        if case.delay is None:
+            assert got_delay is None
+        else:
+            # the rules table stores delay as float32, matching the
+            # reference's f32 (2^256 overflows to inf in both)
+            import numpy as np
+
+            assert got_delay == pytest.approx(float(np.float32(case.delay)), rel=1e-6)
+    if case.sitemaps is not None:
+        assert list(rules_row["sitemaps"]) == case.sitemaps
+
+
+def test_gate_unknown_host_allowed_and_delay_join(spark):
+    raw = spark.createDataFrame(
+        [("known.example", bytearray(b"User-agent: *\nDisallow: /x\nCrawl-delay: 2.5"))],
+        "host string, body binary",
+    )
+    bc = RulesBroadcast(spark, build_rules(raw, "BobBot"))
+    cand = spark.createDataFrame(
+        [
+            ("known.example", "https://known.example/x/1"),
+            ("known.example", "https://known.example/ok"),
+            ("unknown.example", "https://unknown.example/anything"),
+        ],
+        "host string, url string",
+    )
+    rows = {
+        (r["host"], r["url"]): r
+        for r in gate(cand, bc, default_delay=1.0).collect()
+    }
+    assert rows[("known.example", "https://known.example/x/1")]["allowed"] is False
+    assert rows[("known.example", "https://known.example/ok")]["allowed"] is True
+    assert rows[("unknown.example", "https://unknown.example/anything")]["allowed"] is True
+    assert rows[("known.example", "https://known.example/ok")]["crawl_delay"] == 2.5
+    assert rows[("unknown.example", "https://unknown.example/anything")]["crawl_delay"] == 1.0
+
+
+def test_gate_parse_error_policy(spark):
+    bad = b"Allow:*" + b"A" * 4096 + b"*$"
+    raw = spark.createDataFrame(
+        [("bad.example", bytearray(bad))], "host string, body binary"
+    )
+    rules_df = build_rules(raw, "BobBot")
+    assert rules_df.collect()[0]["parse_error"] is True
+    bc = RulesBroadcast(spark, rules_df)
+    cand = spark.createDataFrame(
+        [("bad.example", "https://bad.example/")], "host string, url string"
+    )
+    assert gate(cand, bc, with_delay=False).collect()[0]["allowed"] is False
+    assert (
+        gate(cand, bc, with_delay=False, on_parse_error="allow")
+        .collect()[0]["allowed"]
+        is True
+    )
