@@ -1,0 +1,142 @@
+"""End-to-end crawl superstep: robots conformance inside the loop,
+politeness spacing, no-refetch, checkpoint/resume, metrics + lineage."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from texting_robots_spark.operators.gate import RulesBroadcast, build_rules
+from texting_robots_spark.plans.superstep import (
+    CrawlConfig,
+    crawl_order,
+    frontier_step,
+    run_crawl,
+)
+from texting_robots_spark.robots_core import Robot
+from texting_robots_spark.sources.frontier_store import FrontierStore
+from texting_robots_spark.sources.synth import (
+    synth_documents_df,
+    synth_robots_df,
+    synth_universe,
+)
+from texting_robots_spark.operators.seen import BloomConfig
+
+
+@pytest.fixture(scope="module")
+def universe(spark):
+    documents, robots, seeds = synth_universe(
+        n_hosts=12, n_docs=300, n_seeds=20, seed=42
+    )
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots).cache()
+    return documents, robots, seeds, docs_df, robots_df
+
+
+def _cfg():
+    return CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.5,
+        bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, universe, tmp_path_factory):
+    _, _, seeds, docs_df, robots_df = universe
+    store = FrontierStore(str(tmp_path_factory.mktemp("crawl")), n_buckets=8)
+    metrics = run_crawl(spark, store, docs_df, robots_df, seeds, _cfg(), n_steps=5)
+    return store, metrics
+
+
+def test_crawl_progresses_and_metrics_recorded(spark, crawled):
+    store, metrics = crawled
+    assert sum(m["fetched"] for m in metrics) > 20
+    assert sum(m["new_urls"] for m in metrics) > 20
+    stored = store.read_metrics(spark)
+    assert stored is not None and stored.count() == len(
+        [m for m in metrics if m["scheduled"] > 0]
+    )
+    lineage = store.read_lineage(spark)
+    assert lineage is not None and lineage.count() > 0
+
+
+def test_no_url_fetched_twice_and_frontier_unique(spark, crawled):
+    store, _ = crawled
+    frontier = store.read_frontier(spark)
+    dup = frontier.groupBy("url_hash").count().where(F.col("count") > 1)
+    assert dup.count() == 0
+
+
+def test_robots_conformance_inside_crawl(spark, crawled, universe):
+    """Every fetched URL must be allowed (per the reference-semantics
+    Robot) and every disallowed row must be denied."""
+    _, robots, _, _, _ = universe
+    store, _ = crawled
+    robots_by_host = {h: Robot("TRSBot", bytes(b)) for h, b, _ in robots}
+    rows = (
+        store.read_frontier(spark)
+        .where(F.col("state").isin("fetched", "disallowed"))
+        .select("url", "host", "state")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        robot = robots_by_host.get(r["host"])
+        expected = robot.allowed(r["url"]) if robot is not None else True
+        assert (r["state"] == "fetched") == expected, (
+            f"{r['url']}: state={r['state']} but Robot says allowed={expected}"
+        )
+
+
+def test_politeness_spacing(spark, crawled, universe):
+    """Fetch times within a host must be spaced >= the host's crawl
+    delay (not_before stored = fetch_time + delay)."""
+    _, robots, _, _, _ = universe
+    store, _ = crawled
+    robots_by_host = {h: Robot("TRSBot", bytes(b)) for h, b, _ in robots}
+    cfg = _cfg()
+    fetched = (
+        store.read_frontier(spark)
+        .where(F.col("state") == "fetched")
+        .select("host", "not_before")
+        .collect()
+    )
+    per_host = {}
+    for r in fetched:
+        per_host.setdefault(r["host"], []).append(r["not_before"])
+    for host, times in per_host.items():
+        robot = robots_by_host.get(host)
+        delay = (
+            robot.delay
+            if robot is not None and robot.delay is not None
+            else cfg.default_delay
+        )
+        times.sort()
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert all(g >= delay - 1e-6 for g in gaps), (host, delay, gaps[:5])
+
+
+def test_resume_from_checkpoint_matches_straight_run(
+    spark, universe, tmp_path_factory
+):
+    _, _, seeds, docs_df, robots_df = universe
+    cfg = _cfg()
+    rules = RulesBroadcast(spark, build_rules(robots_df, cfg.agent))
+
+    s1 = FrontierStore(str(tmp_path_factory.mktemp("straight")), n_buckets=8)
+    run_crawl(spark, s1, docs_df, robots_df, seeds, cfg, n_steps=4, rules=rules)
+
+    s2 = FrontierStore(str(tmp_path_factory.mktemp("resumed")), n_buckets=8)
+    run_crawl(spark, s2, docs_df, robots_df, seeds, cfg, n_steps=2, rules=rules)
+    # "restart": a fresh store handle over the same directory resumes
+    # from the manifest checkpoint
+    s2b = FrontierStore(s2.root, n_buckets=8)
+    assert s2b.current_version() == s2.current_version()
+    for _ in range(2):
+        frontier_step(spark, s2b, docs_df, rules, cfg)
+
+    a = sorted(map(tuple, crawl_order(spark, s1).collect()))
+    b = sorted(map(tuple, crawl_order(spark, s2b).collect()))
+    assert a == b

@@ -1,0 +1,329 @@
+"""The frontier superstep — one crawl round as a single declarative plan.
+
+Shape per step (SURVEY.md §3.4), all DataFrame-native except the two
+pandas UDFs (robots gate, URL canonicalization):
+
+    frontier (queued, host eligible by politeness clock)
+      -> per-host top-k window (priority desc, url_hash)   [shuffle: host]
+      -> politeness schedule  fetch_time = t0 + (rank-1)*delay
+      -> robots gate (broadcast rules, no shuffle)
+      -> "fetch" = broadcast-or-shuffle join to documents on url
+      -> posexplode spans -> link extraction -> canonicalize -> url_hash
+      -> in-batch dedup (groupBy url_hash)                 [shuffle: hash]
+      -> bloom probe (cogroup, partition-aligned)
+      -> exact anti-join for maybe_seen remainder          [shuffle: hash]
+      -> MERGE INTO frontier, bloom increment, metrics, lineage, checkpoint
+
+Scale notes:
+- the only per-host shuffle is the scheduling window; hosts are Zipf-
+  skewed, so the eligible set is capped per host *before* ranking cost
+  matters and AQE skew-join handles the fetch join.
+- politeness state is a tiny per-host table (host, next_allowed), not a
+  per-row update across the 10^10-row frontier.
+- determinism: every cut is ordered by (priority desc, url_hash asc), so
+  N- and 4N-way runs produce the identical crawl order (north_rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.udfs import canonicalize_udf
+from ..operators.gate import RulesBroadcast, build_rules, gate
+from ..operators.links import extract_links
+from ..operators.seen import BloomConfig, build_bloom, merge_bloom, probe_bloom
+from ..sources.frontier_store import FrontierStore
+
+__all__ = ["CrawlConfig", "seed_frontier", "frontier_step", "run_crawl"]
+
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+
+
+@dataclass
+class CrawlConfig:
+    agent: str = "TRSBot"
+    per_host_k: int = 8
+    batch_size: int = 10_000
+    step_seconds: float = 60.0
+    default_delay: float = 0.25
+    max_depth: int = 50
+    bloom: BloomConfig = field(default_factory=BloomConfig)
+    on_parse_error: str = "disallow"
+
+
+def _host_of(url_col) -> F.Column:
+    """Authority (host[:port]) of an absolute URL — the robots key.
+    Canonical URLs already have a lowercase host."""
+    return F.regexp_extract(url_col, HOST_RE, 1)
+
+
+def _with_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("url_hash", F.xxhash64(F.col(url_col))).withColumn(
+        "host", _host_of(F.col(url_col))
+    )
+
+
+def seed_frontier(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> DataFrame:
+    """Canonicalized, deduped seed rows (state='queued', depth=0)."""
+    raw = spark.createDataFrame([(s,) for s in seeds], "raw_url string")
+    return (
+        raw.withColumn("url", canonicalize_udf("raw_url"))
+        .where(F.col("url").isNotNull())
+        .transform(_with_keys)
+        .groupBy("url_hash")
+        .agg(F.min("url").alias("url"), F.min("host").alias("host"))
+        .select(
+            "url_hash",
+            "url",
+            "host",
+            F.lit(1.0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit("queued").alias("state"),
+            F.lit(0.0).alias("not_before"),
+        )
+    )
+
+
+def init_crawl(
+    spark: SparkSession,
+    store: FrontierStore,
+    seeds: List[str],
+    cfg: CrawlConfig,
+) -> int:
+    """Write snapshot v0: seed frontier + its bloom filter."""
+    frontier = seed_frontier(spark, seeds, cfg)
+    filters = build_bloom(frontier, cfg.bloom)
+    return store.write_snapshot(frontier, filters, meta={"step": -1, "host_state": {}})
+
+
+def frontier_step(
+    spark: SparkSession,
+    store: FrontierStore,
+    docs: DataFrame,
+    rules: RulesBroadcast,
+    cfg: CrawlConfig,
+) -> dict:
+    """Run one superstep against the current snapshot; returns metrics."""
+    meta = store.meta()
+    step = int(meta.get("step", -1)) + 1
+    t0 = step * cfg.step_seconds
+    host_state = meta.get("host_state", {})  # host -> next_allowed (virtual s)
+
+    frontier = store.read_frontier(spark)
+    filters = store.read_filters(spark)
+
+    # --- 1. eligible queued rows (politeness clock per host) -------------
+    eligible = frontier.where(
+        (F.col("state") == "queued")
+        & (F.col("not_before") <= F.lit(t0))
+        & (F.col("depth") <= F.lit(cfg.max_depth))
+    )
+    if host_state:
+        blocked = [h for h, na in host_state.items() if na > t0]
+        if blocked:
+            eligible = eligible.where(~F.col("host").isin(blocked))
+
+    # --- 2. per-host top-k + politeness schedule --------------------------
+    # delay joins in via tiny broadcast; allowance = how many fetches fit
+    # in this step at the host's crawl-delay (>=1: slower-than-step hosts
+    # advance next_allowed past the step instead of starving)
+    delays = rules.delay_df()
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    ranked = (
+        eligible.join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "crawl_delay", F.coalesce("crawl_delay", F.lit(float(cfg.default_delay)))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "allowance",
+            F.least(
+                F.lit(cfg.per_host_k),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(cfg.step_seconds) / F.greatest("crawl_delay", F.lit(1e-9))),
+                ).cast("int"),
+            ),
+        )
+        .where(F.col("rank") <= F.col("allowance"))
+        .withColumn("fetch_time", F.lit(t0) + (F.col("rank") - 1) * F.col("crawl_delay"))
+    )
+    # global batch cap: deterministic total order; per-host top-k already
+    # bounded the row count so this sort is small
+    scheduled = ranked.orderBy(
+        F.desc("priority"), F.asc("url_hash")
+    ).limit(cfg.batch_size)
+    scheduled.cache()
+    n_scheduled = scheduled.count()
+    if n_scheduled == 0:
+        store.write_snapshot(
+            frontier, filters, meta={"step": step, "host_state": host_state}
+        )
+        return {"step": step, "scheduled": 0, "fetched": 0, "disallowed": 0, "new_urls": 0}
+
+    # --- 3. robots gate ----------------------------------------------------
+    gated = gate(
+        scheduled, rules, with_delay=False, on_parse_error=cfg.on_parse_error
+    ).cache()
+    fetched_batch = gated.where(F.col("allowed"))
+    disallowed_batch = gated.where(~F.col("allowed"))
+
+    # --- 4. fetch: join scheduled URLs to their documents ------------------
+    fetched_docs = fetched_batch.select("url_hash", "url", "depth").join(
+        docs.select(F.col("url").alias("url"), "doc_id", "spans"), "url", "inner"
+    )
+
+    # --- 5. link extraction -> canonical candidates ------------------------
+    links = extract_links(fetched_docs.select("doc_id", "spans")).join(
+        fetched_docs.select("doc_id", "depth"), "doc_id", "inner"
+    )
+    candidates = (
+        links.withColumn("url_c", canonicalize_udf("url"))
+        .where(F.col("url_c").isNotNull())
+        .select(F.col("url_c").alias("url"), "depth")
+        .transform(_with_keys)
+        .groupBy("url_hash")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("host").alias("host"),
+            (F.min("depth") + 1).alias("depth"),
+        )
+        .withColumn("priority", F.lit(1.0) / (F.lit(1.0) + F.col("depth")))
+    )
+
+    # --- 6. seen-set dedup: bloom prefilter + exact anti-join --------------
+    if filters is not None:
+        probed = probe_bloom(candidates, filters, cfg.bloom)
+        definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed_new = maybe.join(
+            frontier.select("url_hash"), "url_hash", "left_anti"
+        )
+        new_rows = definite_new.unionByName(confirmed_new)
+    else:
+        new_rows = candidates.join(
+            frontier.select("url_hash"), "url_hash", "left_anti"
+        )
+    new_rows = new_rows.select(
+        "url_hash",
+        "url",
+        "host",
+        "priority",
+        "depth",
+        F.lit("queued").alias("state"),
+        F.lit(0.0).alias("not_before"),
+    ).cache()
+
+    # --- 7. state updates + MERGE + bloom increment -------------------------
+    done = fetched_batch.select(
+        "url_hash",
+        "url",
+        "host",
+        "priority",
+        "depth",
+        F.lit("fetched").alias("state"),
+        (F.col("fetch_time") + F.col("crawl_delay")).alias("not_before"),
+    )
+    denied = disallowed_batch.select(
+        "url_hash",
+        "url",
+        "host",
+        "priority",
+        "depth",
+        F.lit("disallowed").alias("state"),
+        F.lit(float("inf")).alias("not_before"),
+    )
+    updates = done.unionByName(denied).unionByName(new_rows)
+    new_frontier = FrontierStore.merge_frontier(frontier, updates)
+
+    new_filters = build_bloom(new_rows, cfg.bloom)
+    merged_filters = (
+        merge_bloom(filters, new_filters) if filters is not None else new_filters
+    )
+
+    # --- 8. politeness state, metrics, lineage, checkpoint ------------------
+    sched_stats = (
+        scheduled.groupBy("host")
+        .agg(F.max("allowance").alias("allowance"), F.max("crawl_delay").alias("delay"))
+        .collect()
+    )
+    new_host_state = dict(host_state)
+    for r in sched_stats:
+        new_host_state[r["host"]] = t0 + r["allowance"] * r["delay"]
+
+    n_fetched = fetched_batch.count()
+    n_disallowed = disallowed_batch.count()
+    n_new = new_rows.count()
+    metrics_df = spark.createDataFrame(
+        [(step, n_scheduled, n_fetched, n_disallowed, n_new)],
+        "step int, scheduled long, fetched long, disallowed long, new_urls long",
+    )
+    store.append_metrics(metrics_df)
+    # per-partition lineage: scheduled work per url_hash bucket + state
+    lineage = (
+        gated.withColumn(
+            "partition_id",
+            F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_partitions)).cast("int"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_scheduled"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        )
+        .withColumn("step", F.lit(step))
+    )
+    store.append_lineage(lineage)
+
+    store.write_snapshot(
+        new_frontier,
+        merged_filters,
+        meta={"step": step, "host_state": new_host_state},
+    )
+    scheduled.unpersist()
+    gated.unpersist()
+    new_rows.unpersist()
+    return {
+        "step": step,
+        "scheduled": n_scheduled,
+        "fetched": n_fetched,
+        "disallowed": n_disallowed,
+        "new_urls": n_new,
+    }
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: FrontierStore,
+    docs: DataFrame,
+    robots_raw: DataFrame,
+    seeds: List[str],
+    cfg: CrawlConfig,
+    n_steps: int,
+    rules: Optional[RulesBroadcast] = None,
+) -> List[dict]:
+    """Seed (when the store is empty — resume otherwise) then run
+    ``n_steps`` supersteps. Returns per-step metrics."""
+    if rules is None:
+        rules = RulesBroadcast(spark, build_rules(robots_raw, cfg.agent))
+    if store.current_version() < 0:
+        init_crawl(spark, store, seeds, cfg)
+    out = []
+    for _ in range(n_steps):
+        out.append(frontier_step(spark, store, docs, rules, cfg))
+    return out
+
+
+def crawl_order(spark: SparkSession, store: FrontierStore) -> DataFrame:
+    """The reproducible crawl order: fetched rows sorted by the virtual
+    politeness clock then url_hash (used by determinism tests/bench)."""
+    return (
+        store.read_frontier(spark)
+        .where(F.col("state") == "fetched")
+        .orderBy(F.asc("not_before"), F.asc("url_hash"))
+        .select("url", "host", "depth", "not_before", "url_hash")
+    )

@@ -1,0 +1,144 @@
+"""Versioned frontier storage with MERGE-style upserts and checkpoints.
+
+The design target is an Iceberg table driven by ``MERGE INTO`` with
+snapshot-id checkpointing (north_rule). This sandbox has no Iceberg jars,
+so the same interface is backed by snapshot-versioned Parquet +- an
+atomically renamed JSON manifest: every superstep produces a new
+immutable snapshot directory, the manifest points at the current version,
+and resume = read the manifest. Swapping in Iceberg replaces ``merge``'s
+read-modify-write with a real MERGE INTO and the manifest with the
+catalog — no caller changes.
+
+Layout under ``root/``:
+    manifest.json                  {"current": N, "meta": {...}}
+    snapshots/v000N/frontier/      parquet, bucketed by pmod(url_hash, P)
+    snapshots/v000N/filters/       bloom filter bits (FILTERS_DDL)
+    metrics/                       append-only per-step metrics parquet
+    lineage/                       append-only per-partition lineage
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["FrontierStore", "FRONTIER_DDL"]
+
+FRONTIER_DDL = (
+    "url_hash long, url string, host string, priority double, depth int, "
+    "state string, not_before double, partition_salt int"
+)
+
+
+class FrontierStore:
+    def __init__(self, root: str, n_buckets: int = 32):
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"current": -1, "meta": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        # atomic: write temp + rename, so a crashed step never corrupts
+        # the checkpoint (resume always sees the previous snapshot)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    def current_version(self) -> int:
+        return self._read_manifest()["current"]
+
+    def meta(self) -> dict:
+        return self._read_manifest().get("meta", {})
+
+    def _snap_dir(self, version: int, what: str) -> str:
+        return os.path.join(self.root, "snapshots", f"v{version:06d}", what)
+
+    # -- snapshots --------------------------------------------------------
+    def write_snapshot(
+        self,
+        frontier: DataFrame,
+        filters: Optional[DataFrame] = None,
+        meta: Optional[dict] = None,
+    ) -> int:
+        """Write the next snapshot and commit the manifest (checkpoint)."""
+        version = self.current_version() + 1
+        # bucket the frontier by url_hash so seen-checks and merges are
+        # co-partitioned across supersteps (stable partitioning = no
+        # avoidable shuffle on the next read)
+        (
+            frontier.withColumn(
+                "partition_salt",
+                F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"),
+            )
+            .repartition(self.n_buckets, "partition_salt")
+            .write.mode("overwrite")
+            .parquet(self._snap_dir(version, "frontier"))
+        )
+        if filters is not None:
+            filters.write.mode("overwrite").parquet(self._snap_dir(version, "filters"))
+        manifest = self._read_manifest()
+        manifest["current"] = version
+        if meta is not None:
+            manifest["meta"] = meta
+        self._write_manifest(manifest)
+        return version
+
+    def read_frontier(self, spark: SparkSession, version: Optional[int] = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return spark.createDataFrame([], FRONTIER_DDL)
+        return spark.read.parquet(self._snap_dir(v, "frontier"))
+
+    def read_filters(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
+        v = self.current_version() if version is None else version
+        path = self._snap_dir(v, "filters")
+        if v < 0 or not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+
+    # -- MERGE ------------------------------------------------------------
+    @staticmethod
+    def merge_frontier(current: DataFrame, updates: DataFrame) -> DataFrame:
+        """MERGE semantics on url_hash: update-or-insert ``updates`` rows.
+
+        Equivalent SQL (the Iceberg path):
+            MERGE INTO frontier t USING updates s ON t.url_hash = s.url_hash
+            WHEN MATCHED THEN UPDATE SET *  WHEN NOT MATCHED THEN INSERT *
+        """
+        cols = [f.name for f in current.schema.fields if f.name != "partition_salt"]
+        return (
+            current.select(*cols)
+            .join(updates.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(updates.select(*cols))
+        )
+
+    # -- append-only side tables -------------------------------------------
+    def append_metrics(self, metrics: DataFrame) -> None:
+        metrics.write.mode("append").parquet(os.path.join(self.root, "metrics"))
+
+    def append_lineage(self, lineage: DataFrame) -> None:
+        lineage.write.mode("append").parquet(os.path.join(self.root, "lineage"))
+
+    def read_metrics(self, spark: SparkSession) -> Optional[DataFrame]:
+        path = os.path.join(self.root, "metrics")
+        return spark.read.parquet(path) if os.path.exists(path) else None
+
+    def read_lineage(self, spark: SparkSession) -> Optional[DataFrame]:
+        path = os.path.join(self.root, "lineage")
+        return spark.read.parquet(path) if os.path.exists(path) else None
