@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl pipeline over sf0.001;
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-checkable subset.
+Non-SQL-expressible entries (the robots gate itself, the crawl
+superstep, xxhash64-based sketches, the pandas-UDF language ID) are
+rows-only — their semantics are validated by the pytest corpus instead.
+
+All float outputs are rounded and all orderings are tie-broken so the
+Spark and DuckDB results are value-identical, not just approximately
+equal.
 """
 
 from __future__ import annotations
@@ -12,27 +17,590 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: interleaved-document crawl over sf0.001-derived universe
+# ---------------------------------------------------------------------------
+
+
+def _interleaved_docs_from_sf(spark: SparkSession, sf_dir: str):
+    """Derive an input_hint-shaped interleaved documents table from the
+    driver's flat documents table: host from source, spans alternating
+    text/link/media, links wired deterministically between docs."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    host = F.concat(F.col("source"), F.lit(".example"))
+    # deterministic link targets: (doc_id * 7 + j) % n
+    targets = [(F.col("doc_id") * 7 + j) % n for j in (1, 3)]
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("num_id"),
+        F.concat(host, F.lit("/"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(F.lit("https://"), host, F.lit("/page/"), F.col("doc_id")).alias("url"),
+        host.alias("host"),
+        F.col("text"),
+        *[t.alias(f"t{j}") for j, t in enumerate(targets)],
+    )
+    tgt = docs.select(
+        F.col("doc_id").cast("long").alias("tnum"),
+        F.concat(
+            F.lit("https://"),
+            F.concat(F.col("source"), F.lit(".example")),
+            F.lit("/page/"),
+            F.col("doc_id"),
+        ).alias("turl"),
+    )
+    j0 = tgt.withColumnRenamed("turl", "link0").withColumnRenamed("tnum", "t0")
+    j1 = tgt.withColumnRenamed("turl", "link1").withColumnRenamed("tnum", "t1")
+    wired = base.join(F.broadcast(j0), "t0").join(F.broadcast(j1), "t1")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            F.col("link0").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id")).alias("media_ref"),
+            F.lit(2).alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            F.col("link1").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(3).alias("offset"),
+        ),
+    )
+    return wired.select("doc_id", "url", "host", spans.alias("spans"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3 crawl supersteps (robots gate, politeness, bloom dedup,
+    link extraction, MERGE) over the sf0.001-derived interleaved corpus.
+    Returns the reproducible crawl order."""
+    import tempfile
+
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import CrawlConfig, crawl_order, run_crawl
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+    from texting_robots_spark.sources.synth import _robots_body
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _interleaved_docs_from_sf(spark, sf_dir).cache()
+    hosts = sorted(r["host"] for r in docs.select("host").distinct().collect())
+    robots_raw = spark.createDataFrame(
+        [
+            (h, bytearray(_robots_body(i, None)), 200)
+            for i, h in enumerate(hosts)
+            if i % 7 != 3
+        ],
+        "host string, body binary, status int",
+    )
+    seeds = [r["url"] for r in docs.orderBy("doc_id").limit(20).collect()]
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=8,
+        step_seconds=10.0,
+        default_delay=0.25,
+        bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
+    )
+    store = FrontierStore(tempfile.mkdtemp(prefix="trs_entry_"), n_buckets=8)
+    run_crawl(spark, store, docs, robots_raw, seeds, cfg, n_steps=3)
+    return crawl_order(spark, store)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _host_topk(spark, sf_dir):
+    """Per-group top-k window — the frontier's per-host batch-cut shape."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _anti_join_unseen(spark, sf_dir):
+    """Left-anti join — the URL-seen dedup shape."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _semi_join_active(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def _broadcast_join_revenue(spark, sf_dir):
+    """Broadcast dim join + agg — the frontier's rules/delay join shape."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def _agg_metrics_by_type(spark, sf_dir):
+    """groupBy metrics — the fetch/skip/disallow counters shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def _window_sessions(spark, sf_dir):
+    """lag window over event streams — sessionization (gap > 600s)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("gap_us").isNull() | (F.col("gap_us") > 600_000_000), 1
+                    ).otherwise(0)
+                )
+            ).alias("n_sessions"),
+        )
+    )
+
+
+def _set_union_nations(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+def _explode_token_freq(spark, sf_dir):
+    """explode/posexplode — the link-extraction shape, over doc tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _dedup_exact(spark, sf_dir):
+    from texting_robots_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents")).select(
+        "digest", "n_docs", F.col("canonical_id").cast("long").alias("canonical_id")
+    )
+
+
+def _ngram_jaccard_consecutive(spark, sf_dir):
+    """n-gram Jaccard near-dup scoring for deterministically paired docs."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("text_b")
+    )
+    pairs = a.join(b, "id_a").select(
+        F.col("id_a"), (F.col("id_a") + 1).alias("id_b"), "text_a", "text_b"
+    )
+    ai = F.array_distinct(F.filter(F.split("text_a", " "), lambda t: t != ""))
+    bi = F.array_distinct(F.filter(F.split("text_b", " "), lambda t: t != ""))
+    inter = F.size(F.array_intersect(ai, bi)).cast("double")
+    union = F.size(F.array_union(ai, bi)).cast("double")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    )
+
+
+def _quality_features(spark, sf_dir):
+    from texting_robots_spark.operators.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "distinct_ratio",
+        "mean_token_len",
+    )
+
+
+def _token_count_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return docs.groupBy("lang").agg(
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _similarity_topk(spark, sf_dir):
+    from texting_robots_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --- rows-only entries (no exact SQL equivalent) ---------------------------
+
+
+def _robots_gate_conformance(spark, sf_dir):
+    """Full ported corpus through the Spark gate; rows-only here because
+    DuckDB cannot express the matcher — exactness is asserted in pytest."""
+    from texting_robots_spark.conformance import CORPUS
+    from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+
+    out = None
+    for agent in sorted({c.agent for c in CORPUS}):
+        cases = [c for c in CORPUS if c.agent == agent and c.allowed and not c.parse_error]
+        if not cases:
+            continue
+        raw = spark.createDataFrame(
+            [(c.case_id, bytearray(c.robots)) for c in cases],
+            "host string, body binary",
+        )
+        bc = RulesBroadcast(spark, build_rules(raw, agent))
+        cand = spark.createDataFrame(
+            [(c.case_id, u, e) for c in cases for u, e in c.allowed],
+            "host string, url string, expected boolean",
+        )
+        gated = gate(cand, bc, with_delay=False).select(
+            "host", "url", "expected", "allowed"
+        )
+        out = gated if out is None else out.unionByName(gated)
+    return out
+
+
+def _crawl_superstep(spark, sf_dir):
+    """3 supersteps over a deterministic synthetic universe; returns the
+    crawl order (the determinism artifact)."""
+    import tempfile
+
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import CrawlConfig, crawl_order, run_crawl
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+    from texting_robots_spark.sources.synth import (
+        synth_documents_df,
+        synth_robots_df,
+        synth_universe,
+    )
+
+    documents, robots, seeds = synth_universe(n_hosts=10, n_docs=200, n_seeds=12, seed=42)
+    store = FrontierStore(tempfile.mkdtemp(prefix="trs_q_"), n_buckets=8)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.5,
+        bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
+    )
+    run_crawl(
+        spark,
+        store,
+        synth_documents_df(spark, documents),
+        synth_robots_df(spark, robots),
+        seeds,
+        cfg,
+        n_steps=3,
+    )
+    return crawl_order(spark, store)
+
+
+def _minhash_lsh_pairs(spark, sf_dir):
+    from texting_robots_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return minhash_lsh_candidates(docs, n_hashes=4, band_size=2)
+
+
+def _simhash_fingerprints(spark, sf_dir):
+    from texting_robots_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return simhash(docs).select("doc_id", "simhash")
+
+
+def _lang_id(spark, sf_dir):
+    from texting_robots_spark.operators.text import add_lang_id
+
+    return add_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_guess")
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from texting_robots_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, n_planes=4)
+
+
+def _media_features(spark, sf_dir):
+    from texting_robots_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media_df,
+    )
+    from texting_robots_spark.sources.synth import synth_documents_df, synth_universe
+
+    documents, _, _ = synth_universe(n_hosts=8, n_docs=150, seed=42)
+    media = synth_media_df(spark, synth_documents_df(spark, documents))
+    return extract_media_features(media, dim=8).select(
+        "media_ref", "media_type", "n_bytes"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator coverage (oracled)
+        "q1_pricing_summary": _q1_pricing_summary,
+        "host_topk": _host_topk,
+        "anti_join_unseen": _anti_join_unseen,
+        "semi_join_active": _semi_join_active,
+        "broadcast_join_revenue": _broadcast_join_revenue,
+        "agg_metrics_by_type": _agg_metrics_by_type,
+        "window_sessions": _window_sessions,
+        "set_union_nations": _set_union_nations,
+        "explode_token_freq": _explode_token_freq,
+        # training-data ops (oracled)
+        "dedup_exact": _dedup_exact,
+        "ngram_jaccard_consecutive": _ngram_jaccard_consecutive,
+        "quality_features": _quality_features,
+        "token_count_by_lang": _token_count_by_lang,
+        "similarity_topk": _similarity_topk,
+        # engine-specific (rows-only)
+        "robots_gate_conformance": _robots_gate_conformance,
+        "crawl_superstep": _crawl_superstep,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "simhash_fingerprints": _simhash_fingerprints,
+        "lang_id": _lang_id,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "media_features": _media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "host_topk": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rank
+                FROM orders
+            )
+            WHERE rank <= 3
+        """,
+        "anti_join_unseen": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "semi_join_active": """
+            SELECT c_custkey, c_nationkey
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "broadcast_join_revenue": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "agg_metrics_by_type": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type
+        """,
+        "window_sessions": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   sum(CASE WHEN gap_us IS NULL OR gap_us > 600000000
+                            THEN 1 ELSE 0 END) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            )
+            GROUP BY user_id
+        """,
+        "set_union_nations": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "explode_token_freq": """
+            SELECT token, count(*) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest,
+                   count(*) AS n_docs,
+                   min(doc_id) AS canonical_id
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "ngram_jaccard_consecutive": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(string_split(text, ' '),
+                                                 t -> t <> '')) AS ts
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a,
+                   b.doc_id AS id_b,
+                   round(
+                     CASE WHEN len(list_distinct(list_concat(a.ts, b.ts))) > 0
+                          THEN CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.ts, b.ts)))
+                          ELSE 0.0 END, 6) AS jaccard
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "quality_features": """
+            WITH toks AS (
+                SELECT doc_id, length(text) AS char_len,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(ts) AS n_tokens,
+                   len(list_distinct(ts)) AS n_distinct_tokens,
+                   round(CAST(len(list_distinct(ts)) AS DOUBLE)
+                         / greatest(len(ts), 1), 6) AS distinct_ratio,
+                   round(CAST(char_len - len(ts) + 1 AS DOUBLE)
+                         / greatest(len(ts), 1), 6) AS mean_token_len
+            FROM toks
+        """,
+        "token_count_by_lang": """
+            SELECT lang,
+                   sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                       AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY lang
+        """,
+        "similarity_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), scored AS (
+                SELECT q.query_id,
+                       e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,230 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four families, from exact to fuzzy (all deterministic, all built from
+native Spark expressions unless noted):
+
+- exact:     hash-groupBy on the full text (md5) — one shuffle on the
+             digest, map-side combine applies.
+- n-gram Jaccard: token-shingle set similarity for candidate pairs.
+- MinHash+LSH: per-doc signature (k permutations over shingle hashes) ->
+             band buckets -> bucket join yields candidate pairs without
+             the O(n^2) cross join; Jaccard verify on candidates.
+- SimHash:   64-bit weighted-bit fingerprint; near-dups = small Hamming
+             distance, found via band join on fingerprint slices.
+
+Scale notes: every pair-finding path is bucket-join shaped (shuffle on a
+band/bucket key), never a cross join; signatures are fixed-width columns
+so the shuffle payload is O(rows), not O(rows x text).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup_groups",
+    "tokenize",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "simhash",
+    "simhash_near_dups",
+]
+
+# deterministic odd constants for minhash permutations h_i(x) = a_i*x + b_i
+_MH_A = [0x9E3779B1 | 1, 0x85EBCA77 | 1, 0xC2B2AE3D | 1, 0x27D4EB2F | 1]
+_MH_B = [0x165667B1, 0xD3A2646C, 0xFD7046C5, 0xB55A4F09]
+_MERSENNE = (1 << 61) - 1
+
+
+def tokenize(text_col) -> Column:
+    """Whitespace tokenization with empties dropped (both engines agree)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def shingles(text_col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text (native, no UDF)."""
+    toks = tokenize(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups: digest, group size, canonical (min) doc id.
+
+    md5 is used (not xxhash64) so the DuckDB oracle computes the identical
+    digest. One hash-aggregate; partial aggregation happens map-side.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, left_text: str = "text_a", right_text: str = "text_b"
+) -> DataFrame:
+    """Token-set Jaccard for pre-paired rows (native set algebra)."""
+    a = F.array_distinct(tokenize(F.col(left_text)))
+    b = F.array_distinct(tokenize(F.col(right_text)))
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return pairs.withColumn(
+        "jaccard",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", n_hashes: int = 4) -> DataFrame:
+    """Add ``minhash`` array<long>: min over shingles of a_i*h(s)+b_i.
+
+    Uses xxhash64 for the base shingle hash (JVM-side, vectorized); the
+    permutation arithmetic runs as native expressions over the shingle
+    array — no Python in the loop.
+    """
+    sh = shingles(F.col(text_col))
+    # keep the base hash in [0, 2^31) so a_i*h + b_i stays inside int64
+    # under ANSI arithmetic (a_i < 2^32, h < 2^31 -> product < 2^63)
+    base = lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1))  # noqa: E731
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: (F.lit(_MH_A[i]) * base(s) + F.lit(_MH_B[i]))
+                    % F.lit(_MERSENNE),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return docs.withColumn("minhash", sig)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding (id_a < id_b, distinct).
+
+    Each band of the minhash signature becomes a bucket key; a self-join
+    per bucket (shuffle on the band hash, never a cross join) yields
+    candidates; callers verify with ``jaccard_pairs``.
+    """
+    sig = minhash_signature(docs.select(id_col, text_col), text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * band_size + j + 1).cast("string")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """Add ``simhash`` long: per-token xxhash64 bit-vote fingerprint.
+
+    Pure native expressions: for each bit position, count tokens with the
+    bit set vs total; majority sets the bit.
+    """
+    toks = F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+    total = F.size(toks)
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(
+            F.filter(toks, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(ones * 2 >= total, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        # bitwise shift+or (no ANSI overflow, bit 63 included)
+        fingerprint = fingerprint.bitwiseOR(F.shiftleft(bit, b))
+    return docs.withColumn("simhash", fingerprint)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band join on 16-bit fingerprint slices
+    (pigeonhole: hamming<=max over 64 bits => some band equal when
+    n_bands > max_hamming/ (64/n_bands) holds for small distances), then
+    exact Hamming verify."""
+    fp = simhash(docs.select(id_col, text_col), text_col)
+    width = 64 // n_bands
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+    )
+    pairs = (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    )
