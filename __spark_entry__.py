@@ -209,7 +209,10 @@ def _window_sessions(spark, sf_dir):
     """lag window over event streams — sessionization (gap > 600s)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # events.ts is TIMESTAMP_NTZ; cast for unix_micros (the session-tz
+    # offset is constant and cancels in the gap difference)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
     return (
         ev.withColumn("gap_us", gap_us)
         .groupBy("user_id")

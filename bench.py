@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Components (per-query seconds in "queries", derived rates in "rates"):
+
+- robots_parse_20k:    20,000 x parse of the reference's own bench corpus
+                       (twitter.robots.txt, ~2.9 KB — reference main.rs:5)
+                       through the vectorized parse UDF.
+- robots_allow_1m:     1,000,000 allow-checks through the broadcast-rules
+                       gate UDF (reference main.rs:25-53 does 1M checks).
+- crawl_3_supersteps:  3 full frontier supersteps (gate + politeness +
+                       fetch join + link extraction + bloom dedup + MERGE
+                       + checkpoint) over a 20k-doc synthetic universe.
+- sf queries:          representative operator queries over the
+                       $SPARK_GRAFT_SF_DIR tables (agg, window, joins,
+                       dedup, similarity).
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("texting-robots-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+    from texting_robots_spark.sources.synth import (
+        synth_documents_df,
+        synth_robots_df,
+        synth_universe,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "fixtures", "robots", "twitter.robots.txt"), "rb") as f:
+        twitter = f.read()
+
+    queries: dict[str, float] = {}
+    rates: dict[str, float] = {}
+
+    # --- robots parse throughput (reference: 92k files/s/core native) ----
+    n_parse = 20_000
+    raw = (
+        spark.range(n_parse)
+        .select(F.concat(F.lit("host"), F.col("id")).alias("host"))
+        .withColumn("body", F.lit(bytearray(twitter)))
+        .repartition(cpus)
+    )
+    t0 = time.time()
+    build_rules(raw, "BobBot").select(F.sum(F.size("rules"))).collect()
+    dt = time.time() - t0
+    queries["robots_parse_20k"] = round(dt, 3)
+    rates["parse_files_per_sec"] = round(n_parse / dt, 1)
+
+    # --- allow-check throughput (reference: 1.12M checks/s/core native) --
+    one_host = spark.createDataFrame(
+        [("twitter.com", bytearray(twitter))], "host string, body binary"
+    )
+    bc = RulesBroadcast(spark, build_rules(one_host, "BobBot"))
+    n_checks = 1_000_000
+    paths = [
+        "/halvarflake",
+        "/search?q=%23Satoshi&src=typed_query",
+        "/halvarflake/status/1501495664466927618",
+        "/i/flow/login",
+        "/oauth",
+        "/settings/account",
+        "/home",
+        "/notifications",
+    ]
+    cand = (
+        spark.range(n_checks)
+        .withColumn("host", F.lit("twitter.com"))
+        .withColumn(
+            "url",
+            F.element_at(
+                F.array(*[F.lit(p) for p in paths]),
+                (F.col("id") % len(paths) + 1).cast("int"),
+            ),
+        )
+        .repartition(cpus)
+    )
+    t0 = time.time()
+    gate(cand, bc, with_delay=False).select(
+        F.sum(F.col("allowed").cast("long"))
+    ).collect()
+    dt = time.time() - t0
+    queries["robots_allow_1m"] = round(dt, 3)
+    rates["allow_checks_per_sec"] = round(n_checks / dt, 1)
+
+    # --- crawl supersteps -------------------------------------------------
+    documents, robots, seeds = synth_universe(
+        n_hosts=200, n_docs=20_000, links_per_doc=4, n_seeds=500, seed=42
+    )
+    docs_df = synth_documents_df(spark, documents).repartition(cpus).cache()
+    docs_df.count()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=64,
+        step_seconds=600.0,
+        default_delay=0.05,
+        bloom=BloomConfig(n_partitions=cpus, n_bits=1 << 22, n_hashes=4),
+    )
+    store = FrontierStore(tempfile.mkdtemp(prefix="trs_bench_"), n_buckets=cpus)
+    t0 = time.time()
+    metrics = run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3)
+    dt = time.time() - t0
+    n_processed = sum(m["scheduled"] + m["new_urls"] for m in metrics)
+    queries["crawl_3_supersteps"] = round(dt, 3)
+    rates["frontier_urls_per_sec"] = round(n_processed / dt, 1)
+    rates["frontier_urls_processed"] = n_processed
+
+    # --- representative sf queries ---------------------------------------
+    qfns = entrymod.queries()
+    for name in (
+        "q1_pricing_summary",
+        "host_topk",
+        "anti_join_unseen",
+        "broadcast_join_revenue",
+        "window_sessions",
+        "explode_token_freq",
+        "dedup_exact",
+        "quality_features",
+        "similarity_topk",
+        "minhash_lsh_pairs",
+        "simhash_fingerprints",
+    ):
+        t0 = time.time()
+        n = qfns[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        if n == 0:
+            rates[f"{name}_rows"] = 0
+
+    total = round(sum(queries.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "frontier+robots+ops suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rates": rates,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Two-parallelism scaling evidence (north_rule: >=0.8 efficiency N->4N).
+
+No real cluster exists in this sandbox, so per BASELINE.md the same job
+runs in two separate JVMs — local[8] (N) and local[32] (4N) — on the
+same input, and efficiency = T_4N / (4 * T_N) where T is throughput.
+
+Two workloads are measured:
+- gate:  robots allow-checks/sec through the broadcast-rules gate UDF
+         (embarrassingly parallel — the per-core ceiling)
+- crawl: full frontier supersteps (shuffles, windows, joins, checkpoint
+         I/O — the end-to-end number)
+
+Usage:  python tools/scaling_bench.py            # runs both, writes BENCH/BASELINE.md
+        python tools/scaling_bench.py --worker 8 # internal: one measurement
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_CHECKS = 2_000_000
+N_DOCS = 20_000
+N_HOSTS = 200
+N_SEEDS = 500
+
+
+def worker(cpus: int) -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+    from texting_robots_spark.sources.synth import (
+        synth_documents_df,
+        synth_robots_df,
+        synth_universe,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with open(os.path.join(ROOT, "fixtures", "robots", "twitter.robots.txt"), "rb") as f:
+        twitter = f.read()
+
+    # --- gate workload ---------------------------------------------------
+    one_host = spark.createDataFrame(
+        [("twitter.com", bytearray(twitter))], "host string, body binary"
+    )
+    bc = RulesBroadcast(spark, build_rules(one_host, "BobBot"))
+    paths = [
+        "/halvarflake",
+        "/search?q=%23Satoshi&src=typed_query",
+        "/halvarflake/status/1501495664466927618",
+        "/i/flow/login",
+        "/oauth",
+        "/settings/account",
+        "/home",
+        "/notifications",
+    ]
+    cand = (
+        spark.range(N_CHECKS)
+        .withColumn("host", F.lit("twitter.com"))
+        .withColumn(
+            "url",
+            F.element_at(
+                F.array(*[F.lit(p) for p in paths]),
+                (F.col("id") % len(paths) + 1).cast("int"),
+            ),
+        )
+        .repartition(cpus)
+        .cache()
+    )
+    cand.count()  # materialize input outside the timed region
+    t0 = time.time()
+    gate(cand, bc, with_delay=False).select(
+        F.sum(F.col("allowed").cast("long"))
+    ).collect()
+    gate_dt = time.time() - t0
+
+    # --- crawl workload ----------------------------------------------------
+    documents, robots, seeds = synth_universe(
+        n_hosts=N_HOSTS, n_docs=N_DOCS, n_seeds=N_SEEDS, seed=42
+    )
+    docs_df = synth_documents_df(spark, documents).repartition(cpus).cache()
+    docs_df.count()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=64,
+        step_seconds=600.0,
+        default_delay=0.05,
+        bloom=BloomConfig(n_partitions=max(cpus, 8), n_bits=1 << 22, n_hashes=4),
+    )
+    store = FrontierStore(tempfile.mkdtemp(prefix=f"trs_scale_{cpus}_"), n_buckets=max(cpus, 8))
+    t0 = time.time()
+    metrics = run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3)
+    crawl_dt = time.time() - t0
+    n_urls = sum(m["scheduled"] + m["new_urls"] for m in metrics)
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "gate_checks_per_sec": N_CHECKS / gate_dt,
+                "gate_sec": gate_dt,
+                "crawl_urls_per_sec": n_urls / crawl_dt,
+                "crawl_sec": crawl_dt,
+                "crawl_urls": n_urls,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+            timeout=1200,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    r8, r32 = results[8], results[32]
+    gate_eff = r32["gate_checks_per_sec"] / (4 * r8["gate_checks_per_sec"])
+    crawl_eff = r32["crawl_urls_per_sec"] / (4 * r8["crawl_urls_per_sec"])
+
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
+
+Per BASELINE.md: no real cluster exists in this sandbox, so the same job
+runs in two separate JVMs — `local[8]` (N) and `local[32]` (4N) — over
+the identical input; `efficiency = T_4N / (4 x T_N)`.
+
+Workloads: (a) {N_CHECKS:,} robots allow-checks through the broadcast-rules
+gate UDF; (b) 3 full frontier supersteps over a {N_DOCS:,}-doc / {N_HOSTS}-host
+synthetic universe ({r8['crawl_urls']:,} URLs scheduled+discovered).
+
+| workload | local[8] (N) | local[32] (4N) | speedup | efficiency |
+|---|---|---|---|---|
+| gate (checks/s) | {r8['gate_checks_per_sec']:,.0f} | {r32['gate_checks_per_sec']:,.0f} | {r32['gate_checks_per_sec']/r8['gate_checks_per_sec']:.2f}x | {gate_eff:.2f} |
+| crawl supersteps (URLs/s) | {r8['crawl_urls_per_sec']:,.0f} | {r32['crawl_urls_per_sec']:,.0f} | {r32['crawl_urls_per_sec']/r8['crawl_urls_per_sec']:.2f}x | {crawl_eff:.2f} |
+
+Wall times: gate {r8['gate_sec']:.1f}s -> {r32['gate_sec']:.1f}s; crawl
+{r8['crawl_sec']:.1f}s -> {r32['crawl_sec']:.1f}s.
+
+Note on the crawl number: at this test scale each superstep carries fixed
+driver/checkpoint overhead (parquet snapshot + manifest + JSON), which
+does not shrink with more cores; the gate workload isolates the
+compute-bound scaling. Determinism across the two parallelism levels is
+asserted separately (tests/test_determinism.py): identical crawl order
+and URL-seen set.
+
+Reference per-core sanity bound (BASELINE.md): native Rust does ~1.12M
+allow-checks/s/core; the Arrow gate above runs
+{r32['gate_checks_per_sec']/32:,.0f} checks/s/core at local[32].
+"""
+        )
+    print(
+        json.dumps(
+            {"gate_efficiency": round(gate_eff, 3), "crawl_efficiency": round(crawl_eff, 3)}
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+    else:
+        main()
