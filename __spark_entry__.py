@@ -323,27 +323,27 @@ def _robots_gate_conformance(spark, sf_dir):
     """Full ported corpus through the Spark gate; rows-only here because
     DuckDB cannot express the matcher — exactness is asserted in pytest."""
     from texting_robots_spark.conformance import CORPUS
-    from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+    from texting_robots_spark.operators.gate import (
+        RulesBroadcast,
+        build_rules_per_agent,
+        gate,
+    )
 
-    out = None
-    for agent in sorted({c.agent for c in CORPUS}):
-        cases = [c for c in CORPUS if c.agent == agent and c.allowed and not c.parse_error]
-        if not cases:
-            continue
-        raw = spark.createDataFrame(
-            [(c.case_id, bytearray(c.robots)) for c in cases],
-            "host string, body binary",
-        )
-        bc = RulesBroadcast(spark, build_rules(raw, agent))
-        cand = spark.createDataFrame(
-            [(c.case_id, u, e) for c in cases for u, e in c.allowed],
-            "host string, url string, expected boolean",
-        )
-        gated = gate(cand, bc, with_delay=False).select(
-            "host", "url", "expected", "allowed"
-        )
-        out = gated if out is None else out.unionByName(gated)
-    return out
+    cases = [c for c in CORPUS if c.allowed and not c.parse_error]
+    # case_id doubles as the host key, so per-case agents coexist in one
+    # (host x agent)-keyed rules table — a single job end-to-end
+    raw = spark.createDataFrame(
+        [(c.case_id, bytearray(c.robots), c.agent) for c in cases],
+        "host string, body binary, agent string",
+    )
+    bc = RulesBroadcast(spark, build_rules_per_agent(raw))
+    cand = spark.createDataFrame(
+        [(c.case_id, u, e) for c in cases for u, e in c.allowed],
+        "host string, url string, expected boolean",
+    )
+    return gate(cand, bc, with_delay=False).select(
+        "host", "url", "expected", "allowed"
+    )
 
 
 def _crawl_superstep(spark, sf_dir):

@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the plans we designed for are the plans
+Catalyst actually picks — broadcast joins where intended, filter/column
+pushdown into parquet scans, no Python row-path in native operators."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_delay_join_is_broadcast(spark, tmp_path):
+    from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+
+    raw = spark.createDataFrame(
+        [("h.example", bytearray(b"User-agent: *\nCrawl-delay: 1\nDisallow: /x"))],
+        "host string, body binary",
+    )
+    bc = RulesBroadcast(spark, build_rules(raw, "BobBot"))
+    cand = spark.createDataFrame(
+        [("h.example", "https://h.example/a")], "host string, url string"
+    )
+    plan = _plan(gate(cand, bc))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_scan_pushdown(spark):
+    """Filter + projection must reach the parquet scan."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+    # column pruning: only the two projected columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_frontier_scan_prunes_spans(spark, tmp_path):
+    """Scheduling reads of the documents table must never drag the spans
+    column along (SURVEY §4.2: column pruning is critical)."""
+    from texting_robots_spark.sources.synth import synth_documents_df, synth_universe
+
+    documents, _, _ = synth_universe(n_hosts=4, n_docs=50, seed=42)
+    path = str(tmp_path / "docs.parquet")
+    synth_documents_df(spark, documents).write.parquet(path)
+    docs = spark.read.parquet(path)
+    q = docs.select("doc_id", "url")
+    assert "spans" not in _plan(q).split("ReadSchema:")[-1]
+
+
+def test_broadcast_join_revenue_is_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["broadcast_join_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_is_whole_stage_codegen_with_partial_agg(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    q.collect()  # finalize the adaptive plan so codegen spans are visible
+    plan = _plan(q)
+    assert "WholeStageCodegen" in plan
+    # partial (map-side) aggregation before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan

@@ -54,44 +54,58 @@ RULES_SCHEMA = T.StructType(
 )
 
 
-def make_parse_robots_udf(agent: str):
-    """Pandas UDF: robots.txt body (binary) -> rules struct for ``agent``.
+def _parse_batch(bodies, agents) -> pd.DataFrame:
+    rules_col, delay_col, sitemaps_col, err_col = [], [], [], []
+    for raw, agent in zip(bodies, agents):
+        if raw is None:
+            raw = b""
+        elif isinstance(raw, bytearray):
+            raw = bytes(raw)
+        try:
+            rules, delay, sitemaps = compile_robots(agent, raw)
+            rules_col.append([{"pattern": p, "is_allow": a} for p, a in rules])
+            delay_col.append(delay)
+            sitemaps_col.append(sitemaps)
+            err_col.append(False)
+        except RobotsParseError:
+            rules_col.append([])
+            delay_col.append(None)
+            sitemaps_col.append([])
+            err_col.append(True)
+    return pd.DataFrame(
+        {
+            "rules": rules_col,
+            "delay": delay_col,
+            "sitemaps": sitemaps_col,
+            "parse_error": err_col,
+        }
+    )
+
+
+def make_parse_robots_udf(agent: Optional[str] = None):
+    """Pandas UDF: robots.txt body (binary) -> rules struct.
+
+    With ``agent`` given, the UDF takes one column (body) and compiles
+    for that fixed agent; with ``agent=None`` it takes (body, agent)
+    columns — per-row agents, used to build a (host x agent)-keyed rules
+    table in a single job.
 
     Rules come back precedence-sorted (longest percent-encoded pattern
     first, Allow before Disallow on ties) so the gate is a first-match
     linear scan. ``parse_error=True`` marks files the reference would
     reject wholesale (regex budget, lib.rs:490-497).
     """
+    if agent is not None:
+
+        @F.pandas_udf(RULES_SCHEMA)
+        def parse_robots_fixed(body: pd.Series) -> pd.DataFrame:
+            return _parse_batch(body, [agent] * len(body))
+
+        return parse_robots_fixed
 
     @F.pandas_udf(RULES_SCHEMA)
-    def parse_robots(body: pd.Series) -> pd.DataFrame:
-        rules_col, delay_col, sitemaps_col, err_col = [], [], [], []
-        for raw in body:
-            if raw is None:
-                raw = b""
-            elif isinstance(raw, bytearray):
-                raw = bytes(raw)
-            try:
-                rules, delay, sitemaps = compile_robots(agent, raw)
-                rules_col.append(
-                    [{"pattern": p, "is_allow": a} for p, a in rules]
-                )
-                delay_col.append(delay)
-                sitemaps_col.append(sitemaps)
-                err_col.append(False)
-            except RobotsParseError:
-                rules_col.append([])
-                delay_col.append(None)
-                sitemaps_col.append([])
-                err_col.append(True)
-        return pd.DataFrame(
-            {
-                "rules": rules_col,
-                "delay": delay_col,
-                "sitemaps": sitemaps_col,
-                "parse_error": err_col,
-            }
-        )
+    def parse_robots(body: pd.Series, agents: pd.Series) -> pd.DataFrame:
+        return _parse_batch(body, agents)
 
     return parse_robots
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import make_allowed_udf, make_parse_robots_udf
 
-__all__ = ["build_rules", "RulesBroadcast", "gate"]
+__all__ = ["build_rules", "build_rules_per_agent", "RulesBroadcast", "gate"]
 
 
 def build_rules(robots_raw: DataFrame, agent: str) -> DataFrame:
@@ -36,6 +36,15 @@ def build_rules(robots_raw: DataFrame, agent: str) -> DataFrame:
     return robots_raw.select(
         "host", parse(F.col("body")).alias("_r")
     ).select("host", "_r.rules", "_r.delay", "_r.sitemaps", "_r.parse_error")
+
+
+def build_rules_per_agent(robots_raw: DataFrame) -> DataFrame:
+    """robots_raw(host, body binary, agent string) -> rules table with a
+    per-row agent — one job for many (host, agent) combinations."""
+    parse = make_parse_robots_udf(None)
+    return robots_raw.select(
+        "host", "agent", parse(F.col("body"), F.col("agent")).alias("_r")
+    ).select("host", "agent", "_r.rules", "_r.delay", "_r.sitemaps", "_r.parse_error")
 
 
 class RulesBroadcast:
