@@ -247,17 +247,25 @@ def frontier_step(
     )
 
     # --- 8. politeness state, metrics, lineage, checkpoint ------------------
-    sched_stats = (
-        scheduled.groupBy("host")
-        .agg(F.max("allowance").alias("allowance"), F.max("crawl_delay").alias("delay"))
+    # ONE action over the (small) gated batch yields per-host politeness
+    # advances AND the fetched/disallowed counters
+    stats = (
+        gated.groupBy("host", "allowed")
+        .agg(F.count("*").alias("n"), F.max("crawl_delay").alias("delay"))
         .collect()
     )
     new_host_state = dict(host_state)
-    for r in sched_stats:
-        new_host_state[r["host"]] = t0 + r["allowance"] * r["delay"]
-
-    n_fetched = fetched_batch.count()
-    n_disallowed = disallowed_batch.count()
+    per_host_n: dict = {}
+    n_fetched = 0
+    n_disallowed = 0
+    for r in stats:
+        per_host_n[r["host"]] = per_host_n.get(r["host"], 0) + r["n"]
+        if r["allowed"]:
+            n_fetched += r["n"]
+        else:
+            n_disallowed += r["n"]
+        # next_allowed from the rows actually scheduled, not the cap
+        new_host_state[r["host"]] = t0 + per_host_n[r["host"]] * r["delay"]
     n_new = new_rows.count()
     metrics_df = spark.createDataFrame(
         [(step, n_scheduled, n_fetched, n_disallowed, n_new)],
