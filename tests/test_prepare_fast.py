@@ -1,0 +1,61 @@
+"""prepare_url_fast must be EXACTLY prepare_url — property-tested with
+hypothesis plus every URL in the conformance corpus."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from texting_robots_spark.conformance import CORPUS
+from texting_robots_spark.urltools import prepare_url, prepare_url_fast
+
+ALL_CORPUS_URLS = sorted({u for c in CORPUS for u, _ in c.allowed})
+
+
+def test_fast_equals_slow_on_corpus_urls():
+    for u in ALL_CORPUS_URLS:
+        assert prepare_url_fast(u) == prepare_url(u), u
+
+
+def test_fast_equals_slow_on_tricky_cases():
+    cases = [
+        "",
+        "/",
+        "https://h",
+        "https://h/",
+        "https://h?q=1",
+        "https://h#f",
+        "https://h/a/../b",
+        "https://h/a/./b",
+        "https://h/a/%2e%2e/b",
+        "https://h/a b",
+        "https://h/a'b?c'd",
+        "https://h/{x}^`",
+        "https://u:p@h:8080/p?q#f",
+        "https://h:80/p",
+        "http://h:bad/p",
+        "HTTPS://H/P",
+        "https:////h/p",
+        "https://h\\p\\q",
+        "mailto:x@y",
+        "ipfs://etc/",
+        "https://h/ツ",
+        "https://h/%E3%83%84",
+        "relative/path",
+        "https://[::1]/p",
+        "https://h/p|q~!;,()*+",
+        "https://h/p?a=1&b=2#frag?more#more",
+    ]
+    for u in cases:
+        assert prepare_url_fast(u) == prepare_url(u), u
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x17F),
+        max_size=60,
+    )
+)
+def test_fast_equals_slow_on_random_tails(tail):
+    for prefix in ("https://host.example", "http://h", ""):
+        u = prefix + tail
+        assert prepare_url_fast(u) == prepare_url(u), repr(u)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..robots_core import RobotsParseError, compile_robots, _STAR_RUN
-from ..urltools import canonicalize_url, prepare_url
+from ..urltools import canonicalize_url, prepare_url, prepare_url_fast
 
 __all__ = [
     "RULES_SCHEMA",
@@ -198,8 +198,9 @@ def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):
             if matcher.empty:
                 continue
             allowed_fn = matcher.allowed
+            prep = prepare_url_fast
             out.loc[idx] = [
-                allowed_fn(prepare_url(u)) if u is not None else False
+                allowed_fn(prep(u)) if u is not None else False
                 for u in url.loc[idx]
             ]
         return out
@@ -219,4 +220,4 @@ def canonicalize_udf(url: pd.Series) -> pd.Series:
 def prepare_path_udf(url: pd.Series) -> pd.Series:
     """path[?query][#fragment] slice used for robots matching
     (reference lib.rs:504-518)."""
-    return url.map(lambda u: prepare_url(u) if u is not None else None)
+    return url.map(lambda u: prepare_url_fast(u) if u is not None else None)

@@ -192,12 +192,10 @@ def _raw_line(data: bytes, i: int) -> Tuple[int, Line]:
     return m, (RAW, value)
 
 
-def parse_robots_txt(data: bytes) -> List[Line]:
-    """Parse robots.txt bytes into a list of typed lines.
-
-    Equivalent to robots_txt_parse (parser.rs:168-179). Never fails: any
-    unrecognized line becomes a Raw line.
-    """
+def parse_robots_txt_slow(data: bytes) -> List[Line]:
+    """Byte-at-a-time parser — the direct transliteration of the
+    reference grammar. Kept as the differential-testing twin of the fast
+    regex parser below (hypothesis asserts they are identical)."""
     i = 0
     # BOM strip: each of \xef \xbb \xbf individually optional, in order,
     # so truncated BOM prefixes are also skipped (parser.rs:170-173).
@@ -218,6 +216,83 @@ def parse_robots_txt(data: bytes) -> List[Line]:
     return lines
 
 
+# Fast parser: one split on line terminators + one compiled alternation
+# regex per line. The alternation lists keys in the reference's parser
+# order (parser.rs:175-176 / §1.3 aliases); regex backtracking across
+# alternatives reproduces nom's alt() behavior (a key whose separator is
+# missing falls through to the next key, then to Raw).
+_LINE_SPLIT = re.compile(rb"\r*\n|\r+")
+_STMT_RE = re.compile(
+    rb"^[ \t]*"
+    rb"(user-agent|user agent|useragent"
+    rb"|allow"
+    rb"|disallow|dissallow|dissalow|disalow|diasllow|disallaw"
+    rb"|sitemap|site-map|site map"
+    rb"|crawl-delay|crawl delay|crawldelay)"
+    rb"(?:[ \t]*:|[ \t])"
+    rb"([^#]*)(?:#.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_KIND_OF_KEY = {}
+for _kind, _tags in _KEY_GROUPS:
+    for _tag in _tags:
+        _KIND_OF_KEY[_tag] = _kind
+
+
+def parse_robots_txt(data: bytes) -> List[Line]:
+    """Parse robots.txt bytes into a list of typed lines.
+
+    Equivalent to robots_txt_parse (parser.rs:168-179). Never fails: any
+    unrecognized line becomes a Raw line. Line terminators are a run of
+    '\\r' plus an optional '\\n' (parser.rs:60-64), so lone '\\r' also
+    terminates a line. Differentially tested against
+    parse_robots_txt_slow.
+    """
+    if data[:1] == b"\xef":
+        data = data[1:]
+    if data[:1] == b"\xbb":
+        data = data[1:]
+    if data[:1] == b"\xbf":
+        data = data[1:]
+    if not data:
+        return []
+    if b"\r" not in data:
+        raw_lines = data.split(b"\n")  # C fast path (no \r anywhere)
+        if raw_lines[-1] == b"":
+            raw_lines.pop()
+        return _parse_lines(raw_lines)
+    raw_lines = _LINE_SPLIT.split(data)
+    if raw_lines and raw_lines[-1] == b"" and data[-1:] in (b"\n", b"\r"):
+        # data ended with a terminator: no trailing empty line
+        raw_lines.pop()
+    return _parse_lines(raw_lines)
+
+
+def _parse_lines(raw_lines: List[bytes]) -> List[Line]:
+    match = _STMT_RE.match
+    kinds = _KIND_OF_KEY
+    lines: List[Line] = []
+    append = lines.append
+    for raw in raw_lines:
+        m = match(raw)
+        if m is None:
+            append((RAW, raw))
+            continue
+        kind = kinds[m.group(1).lower()]
+        value = m.group(2).strip()
+        if kind == DELAY:
+            delay = _parse_delay_value(value)
+            if delay is None:
+                append((RAW, raw))
+            else:
+                append((DELAY, delay))
+        elif kind == DISALLOW and not value:
+            append((ALLOW, b"/"))
+        else:
+            append((kind, value))
+    return lines
+
+
 # ---------------------------------------------------------------------------
 # Percent-encoding (lib.rs:261-266)
 # ---------------------------------------------------------------------------
@@ -233,12 +308,19 @@ _ENC_TABLE = [
 ]
 
 
+# characters that pass through percent_encode unchanged (printable ASCII
+# minus space, '"', '<', '>', '`')
+_NO_ENCODE_RE = re.compile(r"^[\x21\x23-\x3b\x3d\x3f-\x5f\x61-\x7e]*$")
+
+
 def percent_encode(text: str) -> str:
     """UTF-8 percent-encode controls + ``space " < > ` `` and non-ASCII.
 
     Existing %xx sequences are left untouched ('%' is not in the set) —
     golden: ``/á`` -> ``/%C3%A1`` but ``/%aa`` stays ``/%aa``.
     """
+    if _NO_ENCODE_RE.match(text) is not None:
+        return text  # nothing to encode (the common case)
     table = _ENC_TABLE
     return "".join(table[b] for b in text.encode("utf-8"))
 

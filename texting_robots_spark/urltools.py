@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional
 
 __all__ = [
     "prepare_url",
+    "prepare_url_fast",
     "get_robots_url",
     "canonicalize_url",
     "split_absolute",
@@ -192,6 +193,34 @@ def prepare_url(raw_url: str) -> str:
     if parts.fragment is not None:
         out += "#" + _encode_with(parts.fragment, _FRAGMENT_SET)
     return out
+
+
+# Fast path for prepare_url: a special-scheme URL whose authority has no
+# userinfo/port/brackets and whose tail contains only characters that no
+# percent-encode set touches and no dot segments serializes to exactly
+# its raw tail. Tail character class = printable ASCII minus the union of
+# the path/query/fragment encode sets (space " ' < > \\ ^ ` { }).
+_FAST_URL_RE = re.compile(
+    r"^(?:https?|wss?|ftp)://[^/?#\\:@\[\]]+"
+    r"([/?#][\x21\x23-\x26\x28-\x3b\x3d\x3f-\x5b\x5d\x5f\x61-\x7a\x7c\x7e]*)?$",
+    re.IGNORECASE,
+)
+
+
+def prepare_url_fast(url: str) -> str:
+    """Exact-equivalent of prepare_url with a no-allocation fast path for
+    plain ASCII absolute URLs (the overwhelmingly common case in a
+    frontier); anything unusual falls back to the full parser. Property-
+    tested equal to prepare_url."""
+    m = _FAST_URL_RE.match(url)
+    if m is None:
+        return prepare_url(url)
+    tail = m.group(1)
+    if tail is None:
+        return "/"
+    if "/." in tail or "%2e" in tail or "%2E" in tail:
+        return prepare_url(url)  # possible dot segments -> full parser
+    return tail if tail[0] == "/" else "/" + tail
 
 
 def get_robots_url(url: str) -> str:
