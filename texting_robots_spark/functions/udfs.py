@@ -32,6 +32,7 @@ __all__ = [
     "make_allowed_udf",
     "canonicalize_udf",
     "prepare_path_udf",
+    "robots_url_udf",
 ]
 
 RULES_SCHEMA = T.StructType(
@@ -221,3 +222,22 @@ def prepare_path_udf(url: pd.Series) -> pd.Series:
     """path[?query][#fragment] slice used for robots matching
     (reference lib.rs:504-518)."""
     return url.map(lambda u: prepare_url_fast(u) if u is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def robots_url_udf(url: pd.Series) -> pd.Series:
+    """robots.txt URL for each page URL (reference get_robots_url,
+    lib.rs:284-312): http/https only, credentials stripped, non-default
+    port kept. None where the reference would error (relative URL, other
+    scheme, bad authority) — callers drop those."""
+    from ..urltools import UrlParseError, get_robots_url
+
+    def derive(u):
+        if u is None:
+            return None
+        try:
+            return get_robots_url(u)
+        except UrlParseError:
+            return None
+
+    return url.map(derive)

@@ -203,7 +203,8 @@ def prepare_url(raw_url: str) -> str:
 _FAST_URL_RE = re.compile(
     r"^(?:https?|wss?|ftp)://[^/?#\\:@\[\]]+"
     r"([/?#][\x21\x23-\x26\x28-\x3b\x3d\x3f-\x5b\x5d\x5f\x61-\x7a\x7c\x7e]*)?$",
-    re.IGNORECASE,
+    # ASCII flag: without it, IGNORECASE makes [a-z] match e.g. 'İ'
+    re.IGNORECASE | re.ASCII,
 )
 
 
