@@ -119,14 +119,14 @@ def main():
 
     # --- crawl supersteps -------------------------------------------------
     documents, robots, seeds = synth_universe(
-        n_hosts=200, n_docs=20_000, links_per_doc=4, n_seeds=500, seed=42
+        n_hosts=200, n_docs=20_000, links_per_doc=4, n_seeds=2000, seed=42
     )
     docs_df = synth_documents_df(spark, documents).repartition(cpus).cache()
     docs_df.count()
     robots_df = synth_robots_df(spark, robots)
     cfg = CrawlConfig(
         agent="TRSBot",
-        per_host_k=64,
+        per_host_k=256,
         step_seconds=600.0,
         default_delay=0.05,
         bloom=BloomConfig(n_partitions=cpus, n_bits=1 << 22, n_hashes=4),
