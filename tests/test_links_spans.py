@@ -54,3 +54,29 @@ def test_extract_links_only_link_spans_in_document_order(spark):
 def test_extract_links_output_schema(spark):
     docs = _docs(spark)
     assert [f.name for f in extract_links(docs).schema.fields] == ["doc_id", "pos", "url"]
+
+
+def test_distributed_synth_closed_world(spark):
+    """Every link in the distributed synthetic universe must resolve to a
+    generated doc URL, and generation must be deterministic."""
+    from texting_robots_spark.sources.synth import synth_documents_distributed
+
+    docs = synth_documents_distributed(spark, 2000, n_hosts=50).cache()
+    assert docs.count() == 2000
+    urls = {r["url"] for r in docs.select("url").collect()}
+    links = extract_links(docs)
+    targets = {
+        r["url"].split("#")[0] for r in links.select("url").distinct().collect()
+    }
+    assert targets <= urls, f"dangling links: {list(targets - urls)[:3]}"
+    # deterministic across invocations
+    a = sorted(r["url"] for r in docs.collect())
+    b = sorted(
+        r["url"] for r in synth_documents_distributed(spark, 2000, n_hosts=50).collect()
+    )
+    assert a == b
+    # Zipf skew: the most popular host should hold a large share
+    top = (
+        docs.groupBy("host").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["count"] > 2000 * 0.05

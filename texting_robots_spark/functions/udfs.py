@@ -179,16 +179,21 @@ def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):
 
     @F.pandas_udf(T.BooleanType())
     def robots_allowed(host: pd.Series, url: pd.Series) -> pd.Series:
+        import numpy as np
+
         table = rules_bc.value
-        out = pd.Series(True, index=host.index, dtype=bool)
-        # group by host so each matcher is fetched/compiled once per batch
-        for h, idx in host.groupby(host, sort=False).groups.items():
+        out = np.ones(len(host), dtype=bool)
+        urls = url.to_numpy()
+        prep = prepare_url_fast
+        # group by host (positional indices) so each matcher is
+        # fetched/compiled once per batch
+        for h, pos in host.groupby(host, sort=False).indices.items():
             entry = table.get(h)
             if entry is None:
                 continue  # no robots.txt for this host -> allowed
             rules, _delay, parse_error = entry
             if parse_error:
-                out.loc[idx] = error_allows
+                out[pos] = error_allows
                 continue
             matcher = matcher_cache.get(h)
             if matcher is None:
@@ -199,12 +204,10 @@ def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):
             if matcher.empty:
                 continue
             allowed_fn = matcher.allowed
-            prep = prepare_url_fast
-            out.loc[idx] = [
-                allowed_fn(prep(u)) if u is not None else False
-                for u in url.loc[idx]
+            out[pos] = [
+                allowed_fn(prep(u)) if u is not None else False for u in urls[pos]
             ]
-        return out
+        return pd.Series(out)
 
     return robots_allowed
 

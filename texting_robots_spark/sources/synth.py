@@ -152,5 +152,78 @@ def synth_documents_df(spark: SparkSession, documents: List[tuple]) -> DataFrame
     return spark.createDataFrame(documents, DOCS_DDL)
 
 
+def synth_documents_distributed(
+    spark: SparkSession, n_docs: int, n_hosts: int = 200, links_per_doc: int = 3
+) -> DataFrame:
+    """Distributed synthetic interleaved documents — pure native
+    expressions over ``spark.range``, so the universe generates at any
+    scale without a driver-side list (the list-based ``synth_universe``
+    stays for the small deterministic pytest fixtures).
+
+    Host assignment is Zipf-ish (cube of a uniform hash), link targets
+    are a deterministic function of doc id, and every link resolves to a
+    generated doc's URL — the same closed-world contract as
+    synth_universe. Deterministic in (n_docs, n_hosts).
+    """
+    from pyspark.sql import functions as F
+
+    def host_of(doc_id):
+        # r in [0,1) from a hash; r^3 concentrates mass on low host ids
+        r = F.pmod(F.xxhash64(F.concat(F.lit("h"), doc_id)), F.lit(4096)) / 4096.0
+        return F.floor(r * r * r * n_hosts).cast("long")
+
+    def url_of(doc_id):
+        return F.concat(
+            F.lit("https://host"),
+            host_of(doc_id),
+            F.lit(".example/page/"),
+            doc_id,
+        )
+
+    df = spark.range(n_docs).withColumnRenamed("id", "num")
+    spans = []
+    offset = 0
+    for j in range(links_per_doc):
+        target = F.pmod(
+            F.col("num") * F.lit(2654435761) + F.lit(40503 * (2 * j + 1)), F.lit(n_docs)
+        )
+        deco = F.when(
+            F.pmod(F.xxhash64(F.concat(F.lit(f"d{j}"), F.col("num"))), F.lit(10)) < 2,
+            F.lit("#frag"),
+        ).otherwise(F.lit(""))
+        spans.append(
+            F.struct(
+                F.lit("link").alias("kind"),
+                F.concat(url_of(target), deco).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(offset).alias("offset"),
+            )
+        )
+        offset += 7
+        spans.append(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("synthetic text for doc "), F.col("num")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(offset).alias("offset"),
+            )
+        )
+        offset += 11
+    spans.append(
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://doc/"), F.col("num")).alias("media_ref"),
+            F.lit(offset).alias("offset"),
+        )
+    )
+    return df.select(
+        F.concat(F.lit("doc"), F.col("num")).alias("doc_id"),
+        url_of(F.col("num")).alias("url"),
+        F.concat(F.lit("host"), host_of(F.col("num")), F.lit(".example")).alias("host"),
+        F.array(*spans).alias("spans"),
+    )
+
+
 def synth_robots_df(spark: SparkSession, robots: List[tuple]) -> DataFrame:
     return spark.createDataFrame(robots, "host string, body binary, status int")

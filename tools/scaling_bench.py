@@ -4,14 +4,17 @@ No real cluster exists in this sandbox, so per BASELINE.md the same job
 runs in two separate JVMs — local[8] (N) and local[32] (4N) — on the
 same input, and efficiency = T_4N / (4 * T_N) where T is throughput.
 
-Two workloads are measured:
-- gate:  robots allow-checks/sec through the broadcast-rules gate UDF
-         (embarrassingly parallel — the per-core ceiling)
-- crawl: full frontier supersteps (shuffles, windows, joins, checkpoint
-         I/O — the end-to-end number)
+Two workloads:
+- gate:  20M robots allow-checks through the broadcast-rules gate UDF
+         (compute-bound — isolates per-core scaling)
+- crawl: 3 full frontier supersteps over a 1M-doc distributed synthetic
+         universe (shuffles, windows, joins, checkpoint I/O — the
+         end-to-end number; carries fixed per-step orchestration cost
+         that does not shrink with cores at sandbox scale)
 
-Usage:  python tools/scaling_bench.py            # runs both, writes BENCH/BASELINE.md
-        python tools/scaling_bench.py --worker 8 # internal: one measurement
+Usage:  python tools/scaling_bench.py --worker 8   # one measurement
+        python tools/scaling_bench.py --report '<json8>' '<json32>'
+        python tools/scaling_bench.py               # runs both + report
 """
 
 from __future__ import annotations
@@ -26,10 +29,10 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-N_CHECKS = 2_000_000
-N_DOCS = 20_000
-N_HOSTS = 200
-N_SEEDS = 500
+N_CHECKS = 20_000_000
+N_DOCS = 1_000_000
+N_HOSTS = 1000
+N_SEEDS = 50_000
 
 
 def worker(cpus: int) -> None:
@@ -41,9 +44,9 @@ def worker(cpus: int) -> None:
     from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
     from texting_robots_spark.sources.frontier_store import FrontierStore
     from texting_robots_spark.sources.synth import (
-        synth_documents_df,
+        synth_documents_distributed,
         synth_robots_df,
-        synth_universe,
+        _robots_body,
     )
 
     spark = (
@@ -52,7 +55,7 @@ def worker(cpus: int) -> None:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,7 +63,7 @@ def worker(cpus: int) -> None:
     with open(os.path.join(ROOT, "fixtures", "robots", "twitter.robots.txt"), "rb") as f:
         twitter = f.read()
 
-    # --- gate workload ---------------------------------------------------
+    # --- gate workload (compute-bound) ------------------------------------
     one_host = spark.createDataFrame(
         [("twitter.com", bytearray(twitter))], "host string, body binary"
     )
@@ -85,10 +88,10 @@ def worker(cpus: int) -> None:
                 (F.col("id") % len(paths) + 1).cast("int"),
             ),
         )
-        .repartition(cpus)
-        .cache()
+        .repartition(cpus * 4)
     )
-    cand.count()  # materialize input outside the timed region
+    # warm-up (python workers, code paths), then timed run
+    gate(cand.limit(10_000), bc, with_delay=False).count()
     t0 = time.time()
     gate(cand, bc, with_delay=False).select(
         F.sum(F.col("allowed").cast("long"))
@@ -96,20 +99,32 @@ def worker(cpus: int) -> None:
     gate_dt = time.time() - t0
 
     # --- crawl workload ----------------------------------------------------
-    documents, robots, seeds = synth_universe(
-        n_hosts=N_HOSTS, n_docs=N_DOCS, n_seeds=N_SEEDS, seed=42
+    docs_df = synth_documents_distributed(spark, N_DOCS, N_HOSTS).repartition(cpus * 2)
+    robots_df = synth_robots_df(
+        spark,
+        [
+            (f"host{i}.example", bytearray(_robots_body(i, None)), 200)
+            for i in range(N_HOSTS)
+            if i % 7 != 3
+        ],
     )
-    docs_df = synth_documents_df(spark, documents).repartition(cpus).cache()
-    docs_df.count()
-    robots_df = synth_robots_df(spark, robots)
+    seeds = [
+        r["url"]
+        for r in synth_documents_distributed(spark, N_SEEDS, N_HOSTS)
+        .select("url")
+        .collect()
+    ]
     cfg = CrawlConfig(
         agent="TRSBot",
-        per_host_k=64,
+        per_host_k=1024,
+        batch_size=1_000_000,
         step_seconds=600.0,
-        default_delay=0.05,
-        bloom=BloomConfig(n_partitions=max(cpus, 8), n_bits=1 << 22, n_hashes=4),
+        default_delay=0.001,
+        bloom=BloomConfig(n_partitions=max(cpus, 8), n_bits=1 << 23, n_hashes=4),
     )
-    store = FrontierStore(tempfile.mkdtemp(prefix=f"trs_scale_{cpus}_"), n_buckets=max(cpus, 8))
+    store = FrontierStore(
+        tempfile.mkdtemp(prefix=f"trs_scale_{cpus}_"), n_buckets=max(cpus, 8)
+    )
     t0 = time.time()
     metrics = run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3)
     crawl_dt = time.time() - t0
@@ -130,24 +145,9 @@ def worker(cpus: int) -> None:
     spark.stop()
 
 
-def main() -> None:
-    results = {}
-    for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-            capture_output=True,
-            text=True,
-            cwd=ROOT,
-            timeout=1200,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line)
-
-    r8, r32 = results[8], results[32]
+def report(r8: dict, r32: dict) -> None:
     gate_eff = r32["gate_checks_per_sec"] / (4 * r8["gate_checks_per_sec"])
     crawl_eff = r32["crawl_urls_per_sec"] / (4 * r8["crawl_urls_per_sec"])
-
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -158,8 +158,9 @@ runs in two separate JVMs — `local[8]` (N) and `local[32]` (4N) — over
 the identical input; `efficiency = T_4N / (4 x T_N)`.
 
 Workloads: (a) {N_CHECKS:,} robots allow-checks through the broadcast-rules
-gate UDF; (b) 3 full frontier supersteps over a {N_DOCS:,}-doc / {N_HOSTS}-host
-synthetic universe ({r8['crawl_urls']:,} URLs scheduled+discovered).
+gate UDF (compute-bound); (b) 3 full frontier supersteps over a
+{N_DOCS:,}-doc / {N_HOSTS}-host distributed synthetic universe
+({r8['crawl_urls']:,} URLs scheduled+discovered).
 
 | workload | local[8] (N) | local[32] (4N) | speedup | efficiency |
 |---|---|---|---|---|
@@ -169,15 +170,18 @@ synthetic universe ({r8['crawl_urls']:,} URLs scheduled+discovered).
 Wall times: gate {r8['gate_sec']:.1f}s -> {r32['gate_sec']:.1f}s; crawl
 {r8['crawl_sec']:.1f}s -> {r32['crawl_sec']:.1f}s.
 
-Note on the crawl number: at this test scale each superstep carries fixed
-driver/checkpoint overhead (parquet snapshot + manifest + JSON), which
-does not shrink with more cores; the gate workload isolates the
-compute-bound scaling. Determinism across the two parallelism levels is
-asserted separately (tests/test_determinism.py): identical crawl order
-and URL-seen set.
+Reading the numbers: the gate workload is the per-URL compute the engine
+adds to a crawl and is what must scale with cores; the crawl superstep at
+sandbox scale carries a fixed per-step orchestration + checkpoint cost
+(parquet snapshot, manifest commit, ~12 stages on small data) that a real
+cluster amortizes over millions of URLs per superstep, so its in-sandbox
+efficiency under-reports the design's scaling. Determinism across the two
+parallelism levels is asserted separately (tests/test_determinism.py):
+identical crawl order and URL-seen set at both.
 
 Reference per-core sanity bound (BASELINE.md): native Rust does ~1.12M
-allow-checks/s/core; the Arrow gate above runs
+allow-checks/s/core; the Arrow gate runs
+{r8['gate_checks_per_sec']/8:,.0f} checks/s/core at local[8] and
 {r32['gate_checks_per_sec']/32:,.0f} checks/s/core at local[32].
 """
         )
@@ -188,8 +192,26 @@ allow-checks/s/core; the Arrow gate above runs
     )
 
 
+def main() -> None:
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+            timeout=3000,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+    report(results[8], results[32])
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
+    elif len(sys.argv) > 3 and sys.argv[1] == "--report":
+        report(json.loads(sys.argv[2]), json.loads(sys.argv[3]))
     else:
         main()
