@@ -98,7 +98,7 @@ def init_crawl(
     """Write snapshot v0: seed frontier + its bloom filter."""
     frontier = seed_frontier(spark, seeds, cfg)
     filters = build_bloom(frontier, cfg.bloom)
-    return store.write_snapshot(frontier, filters, meta={"step": -1, "host_state": {}})
+    return store.write_snapshot(frontier, filters, meta={"step": -1})
 
 
 def frontier_step(
@@ -112,10 +112,10 @@ def frontier_step(
     meta = store.meta()
     step = int(meta.get("step", -1)) + 1
     t0 = step * cfg.step_seconds
-    host_state = meta.get("host_state", {})  # host -> next_allowed (virtual s)
 
     frontier = store.read_frontier(spark)
     filters = store.read_filters(spark)
+    host_state = store.read_host_state(spark)  # (host, next_allowed) or None
 
     # --- 1. eligible queued rows (politeness clock per host) -------------
     eligible = frontier.where(
@@ -123,19 +123,35 @@ def frontier_step(
         & (F.col("not_before") <= F.lit(t0))
         & (F.col("depth") <= F.lit(cfg.max_depth))
     )
-    if host_state:
-        blocked = [h for h, na in host_state.items() if na > t0]
-        if blocked:
-            eligible = eligible.where(~F.col("host").isin(blocked))
+    if host_state is not None:
+        blocked = host_state.where(F.col("next_allowed") > F.lit(t0)).select("host")
+        eligible = eligible.join(F.broadcast(blocked), "host", "left_anti")
 
     # --- 2. per-host top-k + politeness schedule --------------------------
+    # Skew guard: a hot host may have millions of queued rows; ranking
+    # them all in one window partition is the frontier's skew point
+    # (SURVEY §4.3). Two-level top-k: first rank within (host, salt)
+    # sub-partitions and keep per_host_k from each — the true per-host
+    # top-k survives (every global top-k row is in its salt-group's
+    # top-k) — then rank the <= SALT*k survivors exactly.
+    SALT = 16
+    w_salt = Window.partitionBy("host", "salt").orderBy(
+        F.desc("priority"), F.asc("url_hash")
+    )
+    pruned = (
+        eligible.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(SALT)))
+        .withColumn("srank", F.row_number().over(w_salt))
+        .where(F.col("srank") <= cfg.per_host_k)
+        .drop("salt", "srank")
+    )
+
     # delay joins in via tiny broadcast; allowance = how many fetches fit
     # in this step at the host's crawl-delay (>=1: slower-than-step hosts
     # advance next_allowed past the step instead of starving)
     delays = rules.delay_df()
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
     ranked = (
-        eligible.join(F.broadcast(delays), "host", "left")
+        pruned.join(F.broadcast(delays), "host", "left")
         .withColumn(
             "crawl_delay", F.coalesce("crawl_delay", F.lit(float(cfg.default_delay)))
         )
@@ -162,7 +178,7 @@ def frontier_step(
     n_scheduled = scheduled.count()
     if n_scheduled == 0:
         store.write_snapshot(
-            frontier, filters, meta={"step": step, "host_state": host_state}
+            frontier, filters, meta={"step": step}, host_state=host_state
         )
         return {"step": step, "scheduled": 0, "fetched": 0, "disallowed": 0, "new_urls": 0}
 
@@ -254,18 +270,33 @@ def frontier_step(
         .agg(F.count("*").alias("n"), F.max("crawl_delay").alias("delay"))
         .collect()
     )
-    new_host_state = dict(host_state)
     per_host_n: dict = {}
+    per_host_delay: dict = {}
     n_fetched = 0
     n_disallowed = 0
     for r in stats:
         per_host_n[r["host"]] = per_host_n.get(r["host"], 0) + r["n"]
+        per_host_delay[r["host"]] = r["delay"]
         if r["allowed"]:
             n_fetched += r["n"]
         else:
             n_disallowed += r["n"]
-        # next_allowed from the rows actually scheduled, not the cap
-        new_host_state[r["host"]] = t0 + per_host_n[r["host"]] * r["delay"]
+    # politeness advance from the rows actually scheduled, not the cap;
+    # merged into the host_state side table (scheduled hosts per step are
+    # bounded by the batch, so this update set is small by construction)
+    state_updates = spark.createDataFrame(
+        [
+            (h, t0 + n * per_host_delay[h])
+            for h, n in sorted(per_host_n.items())
+        ],
+        "host string, next_allowed double",
+    )
+    if host_state is not None:
+        new_host_state = host_state.join(
+            state_updates.select("host"), "host", "left_anti"
+        ).unionByName(state_updates)
+    else:
+        new_host_state = state_updates
     n_new = new_rows.count()
     metrics_df = spark.createDataFrame(
         [(step, n_scheduled, n_fetched, n_disallowed, n_new)],
@@ -290,7 +321,8 @@ def frontier_step(
     store.write_snapshot(
         new_frontier,
         merged_filters,
-        meta={"step": step, "host_state": new_host_state},
+        meta={"step": step},
+        host_state=new_host_state,
     )
     scheduled.unpersist()
     gated.unpersist()

@@ -75,6 +75,7 @@ class FrontierStore:
         frontier: DataFrame,
         filters: Optional[DataFrame] = None,
         meta: Optional[dict] = None,
+        host_state: Optional[DataFrame] = None,
     ) -> int:
         """Write the next snapshot and commit the manifest (checkpoint)."""
         version = self.current_version() + 1
@@ -92,6 +93,13 @@ class FrontierStore:
         )
         if filters is not None:
             filters.write.mode("overwrite").parquet(self._snap_dir(version, "filters"))
+        if host_state is not None:
+            # politeness token-bucket: one row per ACTIVE host — a real
+            # table, not manifest JSON, so 10^7-host crawls checkpoint
+            # without a driver-side blob
+            host_state.write.mode("overwrite").parquet(
+                self._snap_dir(version, "host_state")
+            )
         manifest = self._read_manifest()
         manifest["current"] = version
         if meta is not None:
@@ -108,6 +116,13 @@ class FrontierStore:
     def read_filters(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
         v = self.current_version() if version is None else version
         path = self._snap_dir(v, "filters")
+        if v < 0 or not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+
+    def read_host_state(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
+        v = self.current_version() if version is None else version
+        path = self._snap_dir(v, "host_state")
         if v < 0 or not os.path.exists(path):
             return None
         return spark.read.parquet(path)
