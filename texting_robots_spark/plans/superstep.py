@@ -16,10 +16,13 @@ pandas UDFs (robots gate, URL canonicalization):
 
 Scale notes:
 - the only per-host shuffle is the scheduling window; hosts are Zipf-
-  skewed, so the eligible set is capped per host *before* ranking cost
-  matters and AQE skew-join handles the fetch join.
-- politeness state is a tiny per-host table (host, next_allowed), not a
-  per-row update across the 10^10-row frontier.
+  skewed, so a salted two-level top-k ((host, pmod(url_hash, SALT))
+  sub-ranks first) bounds any single window partition to SALT x k rows
+  no matter how hot the host, and AQE skew handling covers the fetch
+  join.
+- politeness state is a per-host side table (host, next_allowed)
+  checkpointed with each snapshot — never a per-row update across the
+  10^10-row frontier, never a driver-side blob.
 - determinism: every cut is ordered by (priority desc, url_hash asc), so
   N- and 4N-way runs produce the identical crawl order (north_rule).
 """

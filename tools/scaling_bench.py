@@ -29,7 +29,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-N_CHECKS = 20_000_000
+N_CHECKS = 40_000_000
 N_DOCS = 1_000_000
 N_HOSTS = 1000
 N_SEEDS = 50_000
@@ -89,7 +89,9 @@ def worker(cpus: int) -> None:
             ),
         )
         .repartition(cpus * 4)
+        .cache()
     )
+    cand.count()  # materialize the input OUTSIDE the timed region
     # warm-up (python workers, code paths), then timed run
     gate(cand.limit(10_000), bc, with_delay=False).count()
     t0 = time.time()
