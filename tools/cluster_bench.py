@@ -1,0 +1,253 @@
+"""True N-vs-4N EXECUTOR scaling on a local standalone cluster.
+
+local[8]/local[32] shares ONE JVM, so its Arrow/GC behavior is the most
+adverse case for scaling measurements. This harness starts a real Spark
+standalone master + workers on this machine (each executor = its own
+JVM, as on a production cluster), then runs the same gate + crawl
+workloads with spark.cores.max = 8 (N: 2 executors x 4 cores) and
+32 (4N: 8 executors x 4 cores).
+
+Usage: python tools/cluster_bench.py            # both sizes + report
+       python tools/cluster_bench.py --run 8    # one measurement (cluster up)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import pyspark
+
+SPARK_CLASS = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-class")
+MASTER_URL = "spark://127.0.0.1:7077"
+
+N_CHECKS = 8_000_000
+N_DOCS = 1_000_000
+N_HOSTS = 1000
+N_SEEDS = 200_000
+
+
+def _spawn(args, logfile):
+    env = dict(os.environ)
+    env.setdefault("SPARK_NO_DAEMONIZE", "1")
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [SPARK_CLASS] + args,
+        stdout=open(logfile, "w"),
+        stderr=subprocess.STDOUT,
+        env=env,
+        preexec_fn=os.setsid,
+    )
+
+
+def start_cluster(n_workers: int = 8, cores_per_worker: int = 4):
+    logs = tempfile.mkdtemp(prefix="spark_standalone_")
+    procs = [
+        _spawn(
+            ["org.apache.spark.deploy.master.Master", "-h", "127.0.0.1", "-p", "7077",
+             "--webui-port", "0"],
+            os.path.join(logs, "master.log"),
+        )
+    ]
+    time.sleep(5)
+    for i in range(n_workers):
+        procs.append(
+            _spawn(
+                [
+                    "org.apache.spark.deploy.worker.Worker",
+                    MASTER_URL,
+                    "-c",
+                    str(cores_per_worker),
+                    "-m",
+                    "8g",
+                    "--webui-port",
+                    "0",
+                ],
+                os.path.join(logs, f"worker{i}.log"),
+            )
+        )
+    time.sleep(8)
+    return procs, logs
+
+
+def stop_cluster(procs):
+    for p in procs:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+
+
+def measure(total_cores: int) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+    from texting_robots_spark.sources.synth import (
+        _robots_body,
+        synth_documents_distributed,
+        synth_robots_df,
+    )
+
+    spark = (
+        SparkSession.builder.master(MASTER_URL)
+        .appName(f"cluster-bench-{total_cores}")
+        .config("spark.cores.max", str(total_cores))
+        .config("spark.executor.cores", "2")
+        .config("spark.executor.memory", "6g")
+        .config("spark.executorEnv.PYTHONPATH", ROOT)
+        .config("spark.sql.shuffle.partitions", str(total_cores * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # python-heavy gate: real-world rule sets incl. quora (1000s of
+    # rules) so per-row matcher work dominates Arrow transfer — this is
+    # the compute the engine owns
+    fx = os.path.join(ROOT, "fixtures", "robots")
+    hosts = []
+    for name in ("twitter", "quora", "ebay", "zillow"):
+        with open(os.path.join(fx, f"{name}.robots.txt"), "rb") as f:
+            hosts.append((f"{name}.com", bytearray(f.read())))
+    raw = spark.createDataFrame(hosts, "host string, body binary")
+    bc = RulesBroadcast(spark, build_rules(raw, "BobBot"))
+    paths = [
+        "/halvarflake",
+        "/search?q=%23Satoshi&src=typed_query",
+        "/about/some/page",
+        "/itm/124743368051,42",
+        "/homes/sf/foreclosed/2021-12-01/",
+        "/profiles/ProfileBorderTemplate,a,b,c",
+        "/What-is-the-meaning-of-robots",
+        "/b/HP-Z840/179/bn_89095575",
+    ]
+    cand = (
+        spark.range(N_CHECKS)
+        .withColumn(
+            "host",
+            F.element_at(
+                F.array(*[F.lit(h) for h, _ in hosts]),
+                (F.col("id") % len(hosts) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "url",
+            F.element_at(
+                F.array(*[F.lit(p) for p in paths]),
+                (F.col("id") % len(paths) + 1).cast("int"),
+            ),
+        )
+        .repartition(total_cores * 4)
+        .cache()
+    )
+    cand.count()
+    gate_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        gate(cand, bc, with_delay=False).select(
+            F.sum(F.col("allowed").cast("long"))
+        ).collect()
+        gate_dt = min(gate_dt, time.time() - t0)
+    cand.unpersist()
+
+    docs_df = synth_documents_distributed(spark, N_DOCS, N_HOSTS).repartition(
+        total_cores * 2
+    )
+    robots_df = synth_robots_df(
+        spark,
+        [
+            (f"host{i}.example", bytearray(_robots_body(i, None)), 200)
+            for i in range(N_HOSTS)
+            if i % 7 != 3
+        ],
+    )
+    seeds = [
+        r["url"]
+        for r in synth_documents_distributed(spark, N_SEEDS, N_HOSTS)
+        .select("url")
+        .collect()
+    ]
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=1024,
+        batch_size=1_000_000,
+        step_seconds=600.0,
+        default_delay=0.001,
+        bloom=BloomConfig(n_partitions=32, n_bits=1 << 23, n_hashes=4),
+    )
+    store = FrontierStore(tempfile.mkdtemp(prefix=f"trs_cb_{total_cores}_"), n_buckets=32)
+    t0 = time.time()
+    metrics = run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3)
+    crawl_dt = time.time() - t0
+    n_urls = sum(m["scheduled"] + m["new_urls"] for m in metrics)
+    spark.stop()
+    return {
+        "cores": total_cores,
+        "gate_checks_per_sec": N_CHECKS / gate_dt,
+        "gate_sec": gate_dt,
+        "crawl_urls_per_sec": n_urls / crawl_dt,
+        "crawl_sec": crawl_dt,
+        "crawl_urls": n_urls,
+    }
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        print(json.dumps(measure(int(sys.argv[2]))))
+        return
+    procs, logs = start_cluster(n_workers=8, cores_per_worker=4)
+    print(f"standalone cluster up (logs: {logs})", file=sys.stderr)
+    try:
+        results = {}
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
+                capture_output=True,
+                text=True,
+                cwd=ROOT,
+                timeout=3000,
+                env={**os.environ, "PYTHONPATH": ROOT},
+            )
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                print(out.stdout[-2000:], file=sys.stderr)
+                print(out.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(f"run {cores} failed")
+            results[cores] = json.loads(lines[-1])
+            print(lines[-1])
+        gate_eff = results[32]["gate_checks_per_sec"] / (
+            4 * results[8]["gate_checks_per_sec"]
+        )
+        crawl_eff = results[32]["crawl_urls_per_sec"] / (
+            4 * results[8]["crawl_urls_per_sec"]
+        )
+        print(
+            json.dumps(
+                {
+                    "gate_efficiency": round(gate_eff, 3),
+                    "crawl_efficiency": round(crawl_eff, 3),
+                }
+            )
+        )
+        with open(os.path.join(ROOT, "BENCH", "cluster_scaling.json"), "w") as f:
+            json.dump({"8": results[8], "32": results[32]}, f)
+    finally:
+        stop_cluster(procs)
+
+
+if __name__ == "__main__":
+    main()

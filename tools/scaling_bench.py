@@ -32,7 +32,7 @@ sys.path.insert(0, ROOT)
 N_CHECKS = 40_000_000
 N_DOCS = 1_000_000
 N_HOSTS = 1000
-N_SEEDS = 50_000
+N_SEEDS = 200_000
 
 
 def worker(cpus: int) -> None:
@@ -55,7 +55,7 @@ def worker(cpus: int) -> None:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,13 +92,15 @@ def worker(cpus: int) -> None:
         .cache()
     )
     cand.count()  # materialize the input OUTSIDE the timed region
-    # warm-up (python workers, code paths), then timed run
-    gate(cand.limit(10_000), bc, with_delay=False).count()
-    t0 = time.time()
-    gate(cand, bc, with_delay=False).select(
-        F.sum(F.col("allowed").cast("long"))
-    ).collect()
-    gate_dt = time.time() - t0
+    # 3 repetitions, best-of: single-JVM local mode has noisy GC/fork
+    # effects; the best run reflects the steady-state rate
+    gate_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        gate(cand, bc, with_delay=False).select(
+            F.sum(F.col("allowed").cast("long"))
+        ).collect()
+        gate_dt = min(gate_dt, time.time() - t0)
 
     # --- crawl workload ----------------------------------------------------
     docs_df = synth_documents_distributed(spark, N_DOCS, N_HOSTS).repartition(cpus * 2)
