@@ -51,7 +51,11 @@ HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 class CrawlConfig:
     agent: str = "TRSBot"
     per_host_k: int = 8
-    batch_size: int = 10_000
+    # optional GLOBAL cap on a step's batch. None (default) skips the
+    # global ordered limit entirely: per-host allowances already bound
+    # the batch to hosts x per_host_k, and the global sort costs a
+    # range-partitioning sampling pass per step at scale.
+    batch_size: Optional[int] = None
     step_seconds: float = 60.0
     default_delay: float = 0.25
     max_depth: int = 50
@@ -172,11 +176,14 @@ def frontier_step(
         .where(F.col("rank") <= F.col("allowance"))
         .withColumn("fetch_time", F.lit(t0) + (F.col("rank") - 1) * F.col("crawl_delay"))
     )
-    # global batch cap: deterministic total order; per-host top-k already
-    # bounded the row count so this sort is small
-    scheduled = ranked.orderBy(
-        F.desc("priority"), F.asc("url_hash")
-    ).limit(cfg.batch_size)
+    # optional global batch cap: deterministic total order; per-host
+    # top-k already bounded the row count so this sort is small
+    if cfg.batch_size is not None:
+        scheduled = ranked.orderBy(
+            F.desc("priority"), F.asc("url_hash")
+        ).limit(cfg.batch_size)
+    else:
+        scheduled = ranked
     scheduled.cache()
     n_scheduled = scheduled.count()
     if n_scheduled == 0:

@@ -184,7 +184,6 @@ def measure(total_cores: int) -> dict:
     cfg = CrawlConfig(
         agent="TRSBot",
         per_host_k=1024,
-        batch_size=1_000_000,
         step_seconds=600.0,
         default_delay=0.001,
         bloom=BloomConfig(n_partitions=32, n_bits=1 << 23, n_hashes=4),
