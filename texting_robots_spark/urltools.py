@@ -144,7 +144,9 @@ def split_absolute(url: str) -> Optional[SplitUrl]:
         raise UrlParseError(f"empty host in {url!r}")
     port: Optional[int] = None
     if port_s:
-        if not port_s.isdigit():
+        # ASCII digits only: str.isdigit() accepts Unicode digits like
+        # '¹' which int() rejects (found by hypothesis)
+        if not (port_s.isascii() and port_s.isdigit()):
             raise UrlParseError(f"invalid port in {url!r}")
         port = int(port_s)
         if port > 65535:
