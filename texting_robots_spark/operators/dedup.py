@@ -47,7 +47,13 @@ def tokenize(text_col) -> Column:
 
 
 def shingles(text_col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the text (native, no UDF)."""
+    """Distinct word n-gram shingles of the text (native, no UDF).
+
+    Built with O(1) ``get`` lookups per shingle — a per-index ``slice``
+    would copy O(len) per shingle and turn long documents quadratic.
+    ``get`` returns null out-of-bounds (no ANSI error) and concat_ws
+    skips nulls, which reproduces the short-document behavior.
+    """
     toks = tokenize(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
@@ -94,24 +100,33 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n_hashes: int = 4
     Uses xxhash64 for the base shingle hash (JVM-side, vectorized); the
     permutation arithmetic runs as native expressions over the shingle
     array — no Python in the loop.
+
+    The shingle array and base hashes are materialized as intermediate
+    columns so the n_hashes transforms reuse them instead of re-inlining
+    (and re-computing) the whole tokenize/shingle expression per hash.
     """
-    sh = shingles(F.col(text_col))
     # keep the base hash in [0, 2^31) so a_i*h + b_i stays inside int64
     # under ANSI arithmetic (a_i < 2^32, h < 2^31 -> product < 2^63)
-    base = lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1))  # noqa: E731
+    staged = docs.withColumn(
+        "_mh_base",
+        F.transform(
+            shingles(F.col(text_col)),
+            lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1)),
+        ),
+    )
     sig = F.array(
         *[
             F.array_min(
                 F.transform(
-                    sh,
-                    lambda s: (F.lit(_MH_A[i]) * base(s) + F.lit(_MH_B[i]))
+                    F.col("_mh_base"),
+                    lambda h: (F.lit(_MH_A[i]) * h + F.lit(_MH_B[i]))
                     % F.lit(_MERSENNE),
                 )
             )
             for i in range(n_hashes)
         ]
     )
-    return docs.withColumn("minhash", sig)
+    return staged.withColumn("minhash", sig).drop("_mh_base")
 
 
 def minhash_lsh_candidates(
