@@ -1,0 +1,79 @@
+"""Compaction + re-crawl: archived seen-ness lives in the cuckoo filter;
+deleting from it makes URLs crawlable again — the deletion path bloom
+cannot provide (north_rule: cuckoo-filter fallback for deletions)."""
+
+from pyspark.sql import functions as F
+
+from texting_robots_spark.operators.cuckoo import CuckooConfig
+from texting_robots_spark.operators.gate import RulesBroadcast, build_rules
+from texting_robots_spark.plans.recrawl import (
+    compact_frontier,
+    dedup_candidates_cuckoo,
+    schedule_recrawl,
+)
+from texting_robots_spark.plans.superstep import CrawlConfig, frontier_step, run_crawl
+from texting_robots_spark.operators.seen import BloomConfig
+from texting_robots_spark.sources.frontier_store import FrontierStore
+from texting_robots_spark.sources.synth import (
+    synth_documents_df,
+    synth_robots_df,
+    synth_universe,
+)
+
+CK = CuckooConfig(n_partitions=4, n_buckets=1 << 12)
+
+
+def test_compact_then_recrawl_roundtrip(spark, tmp_path):
+    documents, robots, seeds = synth_universe(n_hosts=8, n_docs=150, n_seeds=12, seed=42)
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.5,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 16, n_hashes=4),
+    )
+    store = FrontierStore(str(tmp_path / "crawl"), n_buckets=4)
+    rules = RulesBroadcast(spark, build_rules(robots_df, cfg.agent))
+    run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3, rules=rules)
+
+    fetched = (
+        store.read_frontier(spark).where(F.col("state") == "fetched").collect()
+    )
+    assert len(fetched) > 10
+    n_total = store.read_frontier(spark).count()
+
+    # --- compact: hot frontier keeps only queued rows ------------------
+    counts = compact_frontier(spark, store, CK)
+    assert counts["queued"] + counts["archived"] == n_total
+    hot = store.read_frontier(spark)
+    assert hot.where(F.col("state") != "queued").count() == 0
+
+    # seen-check now runs against the cuckoo filters: every archived URL
+    # still reads as seen
+    archived = spark.createDataFrame(
+        [(r["url_hash"], r["url"]) for r in fetched], "url_hash long, url string"
+    )
+    fresh_new = dedup_candidates_cuckoo(spark, store, archived, CK)
+    assert fresh_new.count() == 0
+
+    # --- re-crawl a slice: delete from the filter + requeue ------------
+    recrawl_urls = [r["url"] for r in fetched[:5]]
+    n = schedule_recrawl(spark, store, recrawl_urls, CK)
+    assert n == len(set(recrawl_urls))
+    hot = store.read_frontier(spark)
+    requeued = hot.where(
+        F.col("url").isin(recrawl_urls) & (F.col("state") == "queued")
+    )
+    assert requeued.count() == len(set(recrawl_urls))
+
+    # the next superstep fetches them again
+    metrics = frontier_step(spark, store, docs_df, rules, cfg)
+    assert metrics["scheduled"] > 0
+    refetched = (
+        store.read_frontier(spark)
+        .where(F.col("url").isin(recrawl_urls) & (F.col("state") == "fetched"))
+        .count()
+    )
+    assert refetched > 0

@@ -1,0 +1,133 @@
+"""Re-crawl + frontier compaction — where the cuckoo filter earns its keep.
+
+At 10^10 URLs the frontier cannot keep every fetched row hot forever:
+``compact`` archives non-queued rows out of the working frontier and
+hands seen-ness to the per-partition filters. After compaction the
+filter is the ONLY record that a URL was seen — so scheduling a
+re-crawl requires *deleting* from the seen filter, which bloom bits
+cannot do. The cuckoo path (operators.cuckoo) supports exact-key
+deletion with no false negatives for the remaining keys.
+
+Flow:
+    compact(store)            frontier rows state != 'queued' -> archive/
+                              seen-set = cuckoo filters (built from ALL keys)
+    schedule_recrawl(urls)    delete url hashes from the cuckoo filters and
+                              insert fresh 'queued' rows -> next superstep
+                              fetches them again, politeness intact
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import canonicalize_udf
+from ..operators.cuckoo import CuckooConfig, build_cuckoo, delete_cuckoo, probe_cuckoo
+from ..sources.frontier_store import FrontierStore
+
+__all__ = ["compact_frontier", "schedule_recrawl", "dedup_candidates_cuckoo"]
+
+import os
+
+
+def _archive_dir(store: FrontierStore) -> str:
+    return os.path.join(store.root, "archive")
+
+
+def compact_frontier(
+    spark: SparkSession, store: FrontierStore, cfg: CuckooConfig
+) -> dict:
+    """Archive non-queued rows; seen-ness moves to cuckoo filters.
+
+    Writes: archive parquet (append), new snapshot whose frontier holds
+    only queued rows, and cuckoo filters covering EVERY url_hash ever
+    seen (queued + archived). Returns counts.
+    """
+    frontier = store.read_frontier(spark)
+    queued = frontier.where(F.col("state") == "queued")
+    done = frontier.where(F.col("state") != "queued")
+    done.write.mode("append").parquet(_archive_dir(store))
+    filters = build_cuckoo(frontier.select("url_hash"), cfg)
+    n_q, n_a = queued.count(), done.count()
+    store.write_snapshot(queued, filters=None, meta={**store.meta(), "compacted": True})
+    # cuckoo filters live beside the snapshot's bloom slot
+    filters.write.mode("overwrite").parquet(
+        os.path.join(store.root, "cuckoo_filters")
+    )
+    return {"queued": n_q, "archived": n_a}
+
+
+def _read_cuckoo(spark: SparkSession, store: FrontierStore) -> DataFrame:
+    return spark.read.parquet(os.path.join(store.root, "cuckoo_filters"))
+
+
+def dedup_candidates_cuckoo(
+    spark: SparkSession,
+    store: FrontierStore,
+    candidates: DataFrame,
+    cfg: CuckooConfig,
+) -> DataFrame:
+    """Post-compaction seen-check: cuckoo probe replaces the bloom +
+    frontier anti-join (the frontier no longer holds archived keys)."""
+    filters = _read_cuckoo(spark, store)
+    probed = probe_cuckoo(candidates, filters, cfg)
+    return probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+
+
+def schedule_recrawl(
+    spark: SparkSession,
+    store: FrontierStore,
+    urls: List[str],
+    cfg: CuckooConfig,
+    priority: float = 2.0,
+) -> int:
+    """Make previously-fetched URLs crawlable again.
+
+    Deletes their hashes from the cuckoo seen-set and MERGEs fresh
+    'queued' rows into the frontier (upsert on url_hash, so rows still
+    present in the hot frontier are reset rather than duplicated).
+    """
+    raw = spark.createDataFrame([(u,) for u in urls], "raw string")
+    rows = (
+        raw.withColumn("url", canonicalize_udf("raw"))
+        .where(F.col("url").isNotNull())
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn(
+            "host", F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
+        )
+        .select(
+            "url_hash",
+            "url",
+            "host",
+            F.lit(float(priority)).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit("queued").alias("state"),
+            F.lit(0.0).alias("not_before"),
+        )
+        .groupBy("url_hash")
+        .agg(
+            *[
+                F.min(c).alias(c)
+                for c in ("url", "host", "priority", "depth", "state", "not_before")
+            ]
+        )
+    )
+    filters = _read_cuckoo(spark, store)
+    updated = delete_cuckoo(filters, rows.select("url_hash"), cfg)
+    updated.write.mode("overwrite").parquet(
+        os.path.join(store.root, "cuckoo_filters_next")
+    )
+    # atomic-ish swap via rename (same idea as the manifest commit)
+    import shutil
+
+    shutil.rmtree(os.path.join(store.root, "cuckoo_filters"))
+    os.replace(
+        os.path.join(store.root, "cuckoo_filters_next"),
+        os.path.join(store.root, "cuckoo_filters"),
+    )
+    frontier = store.read_frontier(spark)
+    merged = FrontierStore.merge_frontier(frontier, rows)
+    store.write_snapshot(merged, filters=None, meta=store.meta())
+    return rows.count()
