@@ -77,3 +77,38 @@ def test_compact_then_recrawl_roundtrip(spark, tmp_path):
         .count()
     )
     assert refetched > 0
+
+
+def test_span_invariant_through_crawl_and_archive(spark, tmp_path):
+    """input_hint per-row invariant: the exact ordered (kind, text,
+    media_ref) span sequence survives the crawl's fetch path plus a
+    shuffle + parquet round trip of the fetched documents."""
+    from texting_robots_spark.operators.links import span_signature
+
+    documents, robots, seeds = synth_universe(n_hosts=6, n_docs=120, n_seeds=10, seed=42)
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.5,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 16, n_hashes=4),
+    )
+    store = FrontierStore(str(tmp_path / "c"), n_buckets=4)
+    run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=2)
+
+    fetched_urls = store.read_frontier(spark).where(F.col("state") == "fetched")
+    fetched_docs = docs_df.join(fetched_urls.select("url"), "url", "left_semi")
+    # force a shuffle + columnar round trip, as an archival sink would
+    out = str(tmp_path / "archive_docs")
+    fetched_docs.repartition(5, "doc_id").write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == fetched_docs.count() > 0
+
+    orig = docs_df.select("doc_id", span_signature("spans").alias("sig")).alias("o")
+    got = back.select("doc_id", span_signature("spans").alias("sig")).alias("g")
+    mismatched = (
+        got.join(orig, "doc_id").where(F.col("g.sig") != F.col("o.sig")).count()
+    )
+    assert mismatched == 0
