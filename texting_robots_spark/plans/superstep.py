@@ -39,8 +39,8 @@ from pyspark.sql.window import Window
 from ..functions.udfs import canonicalize_udf
 from ..operators.gate import RulesBroadcast, build_rules, gate
 from ..operators.links import extract_links
-from ..operators.seen import BloomConfig, build_bloom, merge_bloom, probe_bloom
-from ..sources.frontier_store import FrontierStore
+from ..operators.seen import BloomConfig, build_bloom, probe_bloom
+from ..sources.frontier_store import FRONTIER_DDL, FrontierStore
 
 __all__ = ["CrawlConfig", "seed_frontier", "frontier_step", "run_crawl"]
 
@@ -187,8 +187,11 @@ def frontier_step(
     scheduled.cache()
     n_scheduled = scheduled.count()
     if n_scheduled == 0:
-        store.write_snapshot(
-            frontier, filters, meta={"step": step}, host_state=host_state
+        store.commit_step(
+            spark,
+            spark.createDataFrame([], FRONTIER_DDL).drop("partition_salt"),
+            meta={"step": step},
+            host_state=host_state,
         )
         return {"step": step, "scheduled": 0, "fetched": 0, "disallowed": 0, "new_urls": 0}
 
@@ -265,12 +268,9 @@ def frontier_step(
         F.lit(float("inf")).alias("not_before"),
     )
     updates = done.unionByName(denied).unionByName(new_rows)
-    new_frontier = FrontierStore.merge_frontier(frontier, updates)
-
-    new_filters = build_bloom(new_rows, cfg.bloom)
-    merged_filters = (
-        merge_bloom(filters, new_filters) if filters is not None else new_filters
-    )
+    # bloom increment for just this step's new URLs; the store keeps
+    # increments as extra filter rows until compaction merges them
+    filters_increment = build_bloom(new_rows, cfg.bloom)
 
     # --- 8. politeness state, metrics, lineage, checkpoint ------------------
     # ONE action over the (small) gated batch yields per-host politeness
@@ -328,9 +328,13 @@ def frontier_step(
     )
     store.append_lineage(lineage)
 
-    store.write_snapshot(
-        new_frontier,
-        merged_filters,
+    # DELTA commit: per-step write cost is O(batch) rows + one bloom
+    # increment, not a full-frontier rewrite; the store compacts to a
+    # full base every compact_every steps (merge-on-read in between)
+    store.commit_step(
+        spark,
+        updates,
+        filters_increment,
         meta={"step": step},
         host_state=new_host_state,
     )

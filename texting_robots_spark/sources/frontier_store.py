@@ -36,9 +36,17 @@ FRONTIER_DDL = (
 
 
 class FrontierStore:
-    def __init__(self, root: str, n_buckets: int = 32):
+    """``compact_every`` controls the delta-snapshot cadence: a superstep
+    commits only its UPDATED rows (plus a bloom increment) as a delta;
+    after that many deltas the reconstructed frontier is rewritten as a
+    new full base. This is the parquet equivalent of Iceberg's
+    merge-on-read with periodic compaction — per-step write cost is
+    O(batch), not O(frontier)."""
+
+    def __init__(self, root: str, n_buckets: int = 32, compact_every: int = 4):
         self.root = root
         self.n_buckets = n_buckets
+        self.compact_every = compact_every
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -102,30 +110,103 @@ class FrontierStore:
             )
         manifest = self._read_manifest()
         manifest["current"] = version
+        manifest["base"] = version  # full snapshot resets the delta chain
+        manifest["deltas"] = []
         if meta is not None:
             manifest["meta"] = meta
         self._write_manifest(manifest)
         return version
 
+    # -- delta commits ------------------------------------------------------
+    def commit_step(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        filters_increment: Optional[DataFrame] = None,
+        meta: Optional[dict] = None,
+        host_state: Optional[DataFrame] = None,
+    ) -> int:
+        """Commit one superstep as a DELTA: only the updated/new frontier
+        rows and the bloom increment are written. Reads reconstruct
+        base + deltas; every ``compact_every`` deltas the reconstruction
+        is rewritten as a new full base (amortized O(batch) per step)."""
+        manifest = self._read_manifest()
+        version = manifest["current"] + 1
+        updates.write.mode("overwrite").parquet(self._snap_dir(version, "delta"))
+        if filters_increment is not None:
+            filters_increment.write.mode("overwrite").parquet(
+                self._snap_dir(version, "filters")
+            )
+        if host_state is not None:
+            host_state.write.mode("overwrite").parquet(
+                self._snap_dir(version, "host_state")
+            )
+        manifest["current"] = version
+        manifest.setdefault("base", -1)
+        manifest.setdefault("deltas", []).append(version)
+        if meta is not None:
+            manifest["meta"] = meta
+        self._write_manifest(manifest)
+        if len(manifest["deltas"]) >= self.compact_every:
+            # compaction: materialize and rewrite as a full base; the
+            # filters are OR-merged into one row per partition
+            from ..operators.seen import merge_bloom  # local import, no cycle
+
+            full = self.read_frontier(spark)
+            filters = self.read_filters(spark)
+            if filters is not None:
+                filters = merge_bloom(
+                    filters, filters.limit(0)
+                )  # one row per partition
+            self.write_snapshot(
+                full, filters, meta=manifest.get("meta"), host_state=self.read_host_state(spark)
+            )
+        return version
+
     def read_frontier(self, spark: SparkSession, version: Optional[int] = None) -> DataFrame:
-        v = self.current_version() if version is None else version
+        manifest = self._read_manifest()
+        v = manifest["current"] if version is None else version
         if v < 0:
             return spark.createDataFrame([], FRONTIER_DDL)
-        return spark.read.parquet(self._snap_dir(v, "frontier"))
+        base = manifest.get("base", v)
+        deltas = [d for d in manifest.get("deltas", []) if d <= v]
+        if version is not None and version == base:
+            deltas = []
+        if base < 0:
+            full = spark.createDataFrame([], FRONTIER_DDL)
+        else:
+            full = spark.read.parquet(self._snap_dir(base, "frontier"))
+        # merge-on-read: apply deltas in version order (later wins)
+        for d in sorted(deltas):
+            delta = spark.read.parquet(self._snap_dir(d, "delta"))
+            full = self.merge_frontier(full, delta)
+        return full
 
-    def read_filters(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
-        v = self.current_version() if version is None else version
-        path = self._snap_dir(v, "filters")
-        if v < 0 or not os.path.exists(path):
+    def read_filters(self, spark: SparkSession) -> Optional[DataFrame]:
+        """Base filters plus all delta increments (union of rows; the
+        bloom probe ORs multiple rows per partition, so increments need
+        no eager merge — compaction collapses them)."""
+        manifest = self._read_manifest()
+        base = manifest.get("base", manifest["current"])
+        versions = ([base] if base >= 0 else []) + manifest.get("deltas", [])
+        paths = [
+            self._snap_dir(v, "filters")
+            for v in versions
+            if os.path.exists(self._snap_dir(v, "filters"))
+        ]
+        if not paths:
             return None
-        return spark.read.parquet(path)
+        return spark.read.parquet(*paths)
 
-    def read_host_state(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
-        v = self.current_version() if version is None else version
-        path = self._snap_dir(v, "host_state")
-        if v < 0 or not os.path.exists(path):
-            return None
-        return spark.read.parquet(path)
+    def read_host_state(self, spark: SparkSession) -> Optional[DataFrame]:
+        """The most recent snapshot/delta that carries a host_state table
+        (each commit writes the FULL small table)."""
+        manifest = self._read_manifest()
+        for v in range(manifest["current"], -1, -1):
+            path = self._snap_dir(v, "host_state")
+            if os.path.exists(path):
+                return spark.read.parquet(path)
+        return None
 
     # -- MERGE ------------------------------------------------------------
     @staticmethod
