@@ -213,10 +213,11 @@ def _window_sessions(spark, sf_dir):
     """lag window over event streams — sessionization (gap > 600s)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts is TIMESTAMP_NTZ; cast for unix_micros (the session-tz
-    # offset is constant and cancels in the gap difference)
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap_us = ts_us - F.lag(ts_us).over(w)
+    # events.ts is TIMESTAMP_NTZ; timestamp_diff on NTZ is wall-clock
+    # arithmetic, independent of spark.sql.session.timeZone (a cast to
+    # TIMESTAMP would shift by the session offset and can flip a session
+    # boundary across a DST transition)
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     return (
         ev.withColumn("gap_us", gap_us)
         .groupBy("user_id")
@@ -555,8 +556,8 @@ def oracle_sql() -> dict[str, str]:
         "window_sessions": """
             SELECT user_id,
                    count(*) AS n_events,
-                   sum(CASE WHEN gap_us IS NULL OR gap_us > 600000000
-                            THEN 1 ELSE 0 END) AS n_sessions
+                   CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM (
                 SELECT user_id,
                        epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -624,8 +625,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_by_lang": """
             SELECT lang,
-                   sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
-                       AS total_tokens,
+                   CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                        AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents
             GROUP BY lang

@@ -22,6 +22,31 @@ def test_host_matcher_matches_corpus(case):
         )
 
 
+def test_leading_star_path_matches_reference_quirk():
+    """minregex.rs:97: when the matched TEXT starts with '*', the first
+    '*'-segment of a starred pattern is NOT start-anchored. Reachable only
+    via relative/odd URLs (prepare_url of a relative URL passes it
+    through). Both the pure-Python Robot and the Spark HostMatcher must
+    reproduce it."""
+    from texting_robots_spark.robots_core import Robot
+
+    body = b"User-agent: *\nDisallow: /a*b\n"
+    robot = Robot("BobBot", body)
+    rules, _d, _s = compile_robots("BobBot", body)
+    matcher = HostMatcher(rules)
+    cases = [
+        ("*zz/aXXb", False),  # unanchored first segment: '/a' found mid-text
+        ("*b", True),         # '/a' occurs nowhere -> no match -> allowed
+        ("/aXb", False),      # canonical path: anchored, matches
+        ("/zz/aXb", True),    # canonical path: anchored, '/a' not at start
+    ]
+    for path, expected in cases:
+        assert robot.allowed(path) == expected, f"Robot({path!r})"
+        assert matcher.allowed(prepare_url(path)) == expected, (
+            f"HostMatcher({path!r})"
+        )
+
+
 def test_budget_cases_raise():
     for case in CORPUS:
         if case.parse_error:

@@ -138,10 +138,12 @@ class HostMatcher:
     rule order. Verified against the full ported conformance corpus.
     """
 
-    __slots__ = ("_chunks", "_allows", "empty")
+    __slots__ = ("_chunks", "_allows", "empty", "_rules", "_slow_rules")
 
     def __init__(self, rules: Sequence[Tuple[str, bool]]):
         self.empty = not rules
+        self._rules = list(rules)
+        self._slow_rules = None  # lazily-built RulePattern twins
         self._allows = [bool(a) for _, a in rules]
         self._chunks: List[Tuple[int, "re.Pattern[str]"]] = []
         for off in range(0, len(rules), _CHUNK):
@@ -150,10 +152,30 @@ class HostMatcher:
             )
             self._chunks.append((off, re.compile("^(?:" + body + ")")))
 
+    def _allowed_slow(self, path: str) -> bool:
+        """Per-rule RulePattern scan — exact reference semantics for the
+        one case the fused regex can't express: a matched text that
+        itself starts with '*' leaves the first '*'-segment of a starred
+        pattern UNanchored (minregex.rs:97 guard), whereas the regex form
+        is always start-anchored. Only reachable via relative/odd URLs
+        (canonical http paths start with '/')."""
+        from ..robots_core import RulePattern
+
+        if self._slow_rules is None:
+            self._slow_rules = [
+                (RulePattern(p), a) for p, a in self._rules
+            ]
+        for rule, is_allow in self._slow_rules:
+            if rule.is_match(path):
+                return is_allow
+        return True
+
     def allowed(self, path: str) -> bool:
         """Allow/deny for an already-prepared path (lib.rs:535-558)."""
         if path == "/robots.txt":
             return True
+        if path[:1] == "*":
+            return self._allowed_slow(path)
         for off, rx in self._chunks:
             m = rx.match(path)
             if m is not None:

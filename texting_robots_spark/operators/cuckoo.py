@@ -32,7 +32,7 @@ from .seen import _splitmix64, with_partition_id
 
 __all__ = ["CuckooConfig", "build_cuckoo", "probe_cuckoo", "delete_cuckoo"]
 
-CUCKOO_DDL = "partition_id int, table binary, n_items long"
+CUCKOO_DDL = "partition_id int, table binary, n_items long, n_dropped long"
 
 _FP_MIX = np.uint64(0x5BD1E995)
 
@@ -139,14 +139,22 @@ def build_cuckoo(df: DataFrame, cfg: CuckooConfig, hash_col: str = "url_hash") -
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         table = _CuckooTable(cfg)
         n = 0
+        dropped = 0
         for h in np.unique(_hashes(pdf, hash_col)):
             if table.insert(h):
                 n += 1
+            else:
+                # over-capacity partition: the key is NOT in the filter, so
+                # downstream probes would yield false negatives. Surface it
+                # instead of undercounting silently — callers check
+                # n_dropped and must resize (n_buckets) or re-partition.
+                dropped += 1
         return pd.DataFrame(
             {
                 "partition_id": [int(pdf["partition_id"].iloc[0])],
                 "table": [table.tobytes()],
                 "n_items": [n],
+                "n_dropped": [dropped],
             }
         )
 
@@ -193,8 +201,8 @@ def delete_cuckoo(
     def _delete(key, filt: pd.DataFrame, dels: pd.DataFrame) -> pd.DataFrame:
         if len(filt) == 0:
             return pd.DataFrame(
-                {"partition_id": [], "table": [], "n_items": []}
-            ).astype({"partition_id": "int32", "n_items": "int64"})
+                {"partition_id": [], "table": [], "n_items": [], "n_dropped": []}
+            ).astype({"partition_id": "int32", "n_items": "int64", "n_dropped": "int64"})
         table = _CuckooTable(cfg, bytes(filt["table"].iloc[0]))
         n = int(filt["n_items"].iloc[0])
         for h in np.unique(_hashes(dels, hash_col)) if len(dels) else []:
@@ -205,6 +213,7 @@ def delete_cuckoo(
                 "partition_id": [int(filt["partition_id"].iloc[0])],
                 "table": [table.tobytes()],
                 "n_items": [n],
+                "n_dropped": [int(filt["n_dropped"].iloc[0]) if "n_dropped" in filt else 0],
             }
         )
 

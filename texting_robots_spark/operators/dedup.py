@@ -202,26 +202,48 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    n_bands: int = 4,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band join on 16-bit fingerprint slices
-    (pigeonhole: hamming<=max over 64 bits => some band equal when
-    n_bands > max_hamming/ (64/n_bands) holds for small distances), then
-    exact Hamming verify."""
+    """Near-dup pairs by SimHash: band join on fingerprint slices, then
+    exact Hamming verify.
+
+    Recall guarantee (pigeonhole): a pair at hamming distance ``d`` has
+    at most ``d`` bands containing a differing bit, so with
+    ``n_bands > max_hamming`` at least one band is identical and the
+    band join finds every pair with hamming <= max_hamming — the output
+    is COMPLETE up to max_hamming, not a sample. ``n_bands`` defaults to
+    ``max_hamming + 1`` and values <= max_hamming are rejected (they
+    would silently miss pairs whose differing bits spread across all
+    bands). The last band absorbs the 64 % n_bands remainder bits."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: the band join "
+            f"would miss pairs (pigeonhole needs n_bands > max_hamming)"
+        )
+    if n_bands > 64:
+        raise ValueError(f"n_bands={n_bands} > 64 bits")
     fp = simhash(docs.select(id_col, text_col), text_col)
     width = 64 // n_bands
+
+    def _chunk(b: int):
+        # band b covers bits [b*width, (b+1)*width); the last band is
+        # widened to cover the remainder so all 64 bits are banded
+        w = width if b < n_bands - 1 else 64 - (n_bands - 1) * width
+        return (
+            F.shiftrightunsigned("simhash", b * width)
+            .bitwiseAND(F.lit((1 << w) - 1) if w < 64 else F.lit(-1))
+            .alias("chunk")
+        )
+
     bands = fp.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _chunk(b))
                     for b in range(n_bands)
                 ]
             )

@@ -56,7 +56,18 @@ def compact_frontier(
     filters.write.mode("overwrite").parquet(
         os.path.join(store.root, "cuckoo_filters")
     )
-    return {"queued": n_q, "archived": n_a}
+    # a dropped key would be a silent false negative on every later probe
+    # (a seen URL re-entering the frontier) — fail loudly so the caller
+    # resizes n_buckets / n_partitions instead.
+    n_dropped = (
+        _read_cuckoo(spark, store).agg(F.sum("n_dropped")).collect()[0][0] or 0
+    )
+    if n_dropped:
+        raise ValueError(
+            f"cuckoo filter over capacity: {n_dropped} keys dropped — "
+            f"increase CuckooConfig.n_buckets or n_partitions"
+        )
+    return {"queued": n_q, "archived": n_a, "dropped": int(n_dropped)}
 
 
 def _read_cuckoo(spark: SparkSession, store: FrontierStore) -> DataFrame:
@@ -115,7 +126,16 @@ def schedule_recrawl(
         )
     )
     filters = _read_cuckoo(spark, store)
-    updated = delete_cuckoo(filters, rows.select("url_hash"), cfg)
+    # probe-before-delete: only hashes actually present in the filter are
+    # deleted. Deleting a never-inserted hash can evict another URL's
+    # entry on a fingerprint collision (violating delete_cuckoo's
+    # contract), so arbitrary user URLs must be screened first.
+    present = (
+        probe_cuckoo(rows.select("url_hash"), filters, cfg)
+        .where(F.col("maybe_seen"))
+        .select("url_hash")
+    )
+    updated = delete_cuckoo(filters, present, cfg)
     updated.write.mode("overwrite").parquet(
         os.path.join(store.root, "cuckoo_filters_next")
     )

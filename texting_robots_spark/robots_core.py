@@ -86,6 +86,18 @@ _KEY_GROUPS: List[Tuple[str, Tuple[bytes, ...]]] = [
 ]
 
 
+# Exactly Rust's f32 FromStr grammar (core/src/num/dec2flt): optional
+# sign, then inf|infinity|nan (case-insensitive) or a decimal number
+# (digits, digits '.' [digits], '.' digits) with an optional exponent.
+# ASCII-only: Python's float() alone would additionally accept Unicode
+# digits (e.g. b'\xd9\xa5' -> '٥' -> 5.0) and Unicode whitespace, which
+# the reference demotes to a Raw line.
+_F32_RE = re.compile(
+    r"^[+-]?(?:inf(?:inity)?|nan|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)$",
+    re.IGNORECASE | re.ASCII,
+)
+
+
 def _parse_delay_value(value: bytes) -> Optional[float]:
     """Parse a Crawl-Delay value like Rust ``str::parse::<f32>`` + ``d >= 0.0``.
 
@@ -96,15 +108,9 @@ def _parse_delay_value(value: bytes) -> Optional[float]:
         text = value.decode("utf-8")
     except UnicodeDecodeError:
         return None
-    # Rust f32 parsing accepts optional sign, decimal/scientific notation,
-    # and inf/infinity/nan (case-insensitive); it does not accept
-    # underscores, hex floats, or surrounding whitespace.
-    if "_" in text or not text:
+    if _F32_RE.match(text) is None:
         return None
-    try:
-        delay = float(text)
-    except ValueError:
-        return None
+    delay = float(text)
     if delay != delay or delay < 0.0:  # NaN or negative -> reject
         return None
     return delay
