@@ -52,3 +52,20 @@ def test_budget_cases_raise():
         if case.parse_error:
             with pytest.raises(RobotsParseError):
                 compile_robots(case.agent, case.robots)
+
+
+def test_allowed_batch_equals_allowed_on_corpus():
+    """The batched multiline-finditer path must agree with the per-row
+    path (and therefore with Robot) on every corpus case, plus specials
+    mixed into one batch."""
+    import numpy as np
+
+    for case in CASES:
+        rules, _d, _s = compile_robots(case.agent, case.robots)
+        matcher = HostMatcher(rules)
+        paths = [prepare_url(u) for u, _ in case.allowed]
+        # salt the batch with the special paths
+        paths += ["/robots.txt", "*zz/aXXb", "/"]
+        got = matcher.allowed_batch(paths)
+        want = np.array([matcher.allowed(p) for p in paths])
+        assert (got == want).all(), case.case_id

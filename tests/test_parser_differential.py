@@ -68,3 +68,33 @@ _KEYWORDS = [
 def test_identical_on_fuzzed_inputs(parts):
     data = b"".join(parts)
     assert parse_robots_txt(data) == parse_robots_txt_slow(data), repr(data)
+
+
+# --- scan_statements: the '\r'-free one-sweep statement scanner ---------
+
+from texting_robots_spark.robots_core import RAW, scan_statements
+
+
+def test_scan_equals_parse_on_corpus():
+    for case in CORPUS:
+        data = case.robots.replace(b"\x00", b"\n")
+        if b"\r" in data:
+            continue  # scanner contract: '\r'-free bodies only
+        want = [ln for ln in parse_robots_txt(data) if ln[0] != RAW]
+        assert scan_statements(data) == want, case.case_id
+
+
+@settings(max_examples=1500, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from([k for k in _KEYWORDS if b"\r" not in k]),
+            st.binary(max_size=6).filter(lambda b: b"\r" not in b),
+        ),
+        max_size=24,
+    )
+)
+def test_scan_equals_parse_on_fuzzed_inputs(parts):
+    data = b"".join(parts).replace(b"\x00", b"\n")
+    want = [ln for ln in parse_robots_txt(data) if ln[0] != RAW]
+    assert scan_statements(data) == want, repr(data)

@@ -59,3 +59,33 @@ def test_fast_equals_slow_on_random_tails(tail):
     for prefix in ("https://host.example", "http://h", ""):
         u = prefix + tail
         assert prepare_url_fast(u) == prepare_url(u), repr(u)
+
+
+# --- batched prepare: one finditer sweep must equal the per-row fn ------
+
+from texting_robots_spark.urltools import prepare_urls_batch
+
+
+def test_batch_equals_fast_on_corpus_urls():
+    batch = prepare_urls_batch(ALL_CORPUS_URLS)
+    assert batch == [prepare_url_fast(u) for u in ALL_CORPUS_URLS]
+
+
+def test_batch_handles_newlines_and_empties():
+    urls = ["https://h/a", "bad\nurl", "", "https://h", "rel/p", "https://h/a b"]
+    assert prepare_urls_batch(urls) == [prepare_url_fast(u) for u in urls]
+    assert prepare_urls_batch([]) == []
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x17F),
+            max_size=40,
+        ).map(lambda t: "https://host.example" + t),
+        max_size=20,
+    )
+)
+def test_batch_equals_fast_property(urls):
+    assert prepare_urls_batch(urls) == [prepare_url_fast(u) for u in urls]

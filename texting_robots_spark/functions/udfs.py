@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..robots_core import RobotsParseError, compile_robots, _STAR_RUN
-from ..urltools import canonicalize_url, prepare_url, prepare_url_fast
+from ..urltools import (
+    canonicalize_url,
+    prepare_url,
+    prepare_url_fast,
+    prepare_urls_batch,
+)
 
 __all__ = [
     "RULES_SCHEMA",
@@ -121,21 +126,34 @@ _CHUNK = 64  # alternation groups per compiled regex chunk
 def _rule_regex_body(pattern: str) -> str:
     """Anchored-regex body equivalent to the reference's 3-tier matcher:
     prefix rules become escaped literals, '*' becomes '.*' (star runs
-    collapsed first, minregex.rs:51-57), '$' becomes an end anchor."""
+    collapsed first, minregex.rs:51-57), '$' becomes an end anchor.
+
+    Multiline-safe: '.' never crosses '\\n' and '$' under re.MULTILINE is
+    end-of-line — prepared paths are '\\n'-free (percent-encoding covers
+    all controls), so per-line semantics equal per-string semantics."""
     collapsed = _STAR_RUN.sub("*", pattern)
-    return re.escape(collapsed).replace("\\*", ".*").replace("\\$", r"\Z")
+    return re.escape(collapsed).replace("\\*", ".*").replace("\\$", "$")
 
 
 class HostMatcher:
     """Compiled allow/deny matcher for one host's precedence-sorted rules.
 
-    All rules are fused into chunked alternation regexes
-    ``^(?:(r0)|(r1)|...)``: Python's `re` tries alternatives left to
-    right at the anchored position, so the first group that matches IS
-    the highest-precedence matching rule — one C-level regex call decides
-    each URL instead of a per-rule Python loop. Chunking keeps any single
-    pattern small and is precedence-safe because chunks are evaluated in
-    rule order. Verified against the full ported conformance corpus.
+    All rules are fused into chunked alternation regexes compiled with
+    re.MULTILINE::
+
+        ^(?:(/robots\\.txt$)|(\\*)|(r0)|(r1)|...|())
+
+    Python's `re` tries alternatives left to right at the anchored
+    position, so the first group that matches IS the highest-precedence
+    matching rule. The two leading alternatives handle the specials
+    (the /robots.txt bypass, lib.rs:535-539, and leading-'*' texts where
+    the reference leaves starred patterns unanchored, minregex.rs:97);
+    the trailing empty group is a catch-all so EVERY line yields exactly
+    one match — that makes ``allowed_batch`` a single C-level
+    ``finditer`` sweep over '\\n'-joined prepared paths instead of one
+    regex call per row. Chunking keeps any single pattern small and is
+    precedence-safe because chunks are evaluated in rule order. Verified
+    against the full ported conformance corpus.
     """
 
     __slots__ = ("_chunks", "_allows", "empty", "_rules", "_slow_rules")
@@ -145,12 +163,16 @@ class HostMatcher:
         self._rules = list(rules)
         self._slow_rules = None  # lazily-built RulePattern twins
         self._allows = [bool(a) for _, a in rules]
-        self._chunks: List[Tuple[int, "re.Pattern[str]"]] = []
+        # (rule_offset, n_special_groups, n_rule_groups, regex)
+        self._chunks: List[Tuple[int, int, int, "re.Pattern[str]"]] = []
         for off in range(0, len(rules), _CHUNK):
-            body = "|".join(
-                "(" + _rule_regex_body(p) + ")" for p, _ in rules[off : off + _CHUNK]
-            )
-            self._chunks.append((off, re.compile("^(?:" + body + ")")))
+            chunk = rules[off : off + _CHUNK]
+            parts = [r"(/robots\.txt$)", r"(\*)"] if off == 0 else []
+            nspecial = len(parts)
+            parts += ["(" + _rule_regex_body(p) + ")" for p, _ in chunk]
+            parts.append("()")  # catch-all: line matched no rule in chunk
+            rx = re.compile("^(?:" + "|".join(parts) + ")", re.MULTILINE)
+            self._chunks.append((off, nspecial, len(chunk), rx))
 
     def _allowed_slow(self, path: str) -> bool:
         """Per-rule RulePattern scan — exact reference semantics for the
@@ -171,16 +193,64 @@ class HostMatcher:
         return True
 
     def allowed(self, path: str) -> bool:
-        """Allow/deny for an already-prepared path (lib.rs:535-558)."""
-        if path == "/robots.txt":
-            return True
-        if path[:1] == "*":
-            return self._allowed_slow(path)
-        for off, rx in self._chunks:
-            m = rx.match(path)
-            if m is not None:
-                return self._allows[off + m.lastindex - 1]
-        return True
+        """Allow/deny for one already-prepared path (lib.rs:535-558)."""
+        for off, s, k, rx in self._chunks:
+            li = rx.match(path).lastindex  # catch-all: always a match
+            if li <= s:
+                # special: 1 = /robots.txt bypass, 2 = leading-'*' text
+                return True if li == 1 else self._allowed_slow(path)
+            if li <= s + k:
+                return self._allows[off + li - s - 1]
+        return True  # no rule matched -> allowed
+
+    def allowed_batch(self, paths: Sequence[str]) -> "object":
+        """Vectorized allow/deny: ONE finditer sweep per chunk over the
+        '\\n'-joined batch — the per-row cost is just iterating match
+        objects. Returns a numpy bool array aligned with ``paths``.
+
+        Precondition: paths are prepared (non-empty, '\\n'-free — both
+        guaranteed by prepare_url). A desync (defensive) falls back to
+        the per-row path."""
+        import numpy as np
+
+        res = np.ones(len(paths), dtype=bool)
+        if self.empty:
+            return res
+        cur = paths  # lines still undecided
+        idx: Optional[List[int]] = None  # cur position -> original index
+        allows = self._allows
+        for off, s, k, rx in self._chunks:
+            joined = "\n".join(cur)
+            if joined.count("\n") != len(cur) - 1:  # '\n' inside a path
+                for i, p in enumerate(cur):
+                    j = i if idx is None else idx[i]
+                    res[j] = self.allowed(p)
+                return res
+            undecided: List[int] = []
+            ua = undecided.append
+            catch = s + k + 1
+            i = 0
+            for m in rx.finditer(joined):
+                li = m.lastindex
+                if li == catch:
+                    ua(i)
+                elif li > s:
+                    res[i if idx is None else idx[i]] = allows[off + li - s - 1]
+                elif li == 2:
+                    j = i if idx is None else idx[i]
+                    res[j] = self._allowed_slow(cur[i])
+                # li == 1: /robots.txt bypass — res already True
+                i += 1
+            if i != len(cur):  # desync (empty path line) -> per-row
+                for t, p in enumerate(cur):
+                    j = t if idx is None else idx[t]
+                    res[j] = self.allowed(p)
+                return res
+            if not undecided:
+                return res
+            idx = undecided if idx is None else [idx[t] for t in undecided]
+            cur = [cur[t] for t in undecided]
+        return res
 
 
 def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):
@@ -206,7 +276,6 @@ def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):
         table = rules_bc.value
         out = np.ones(len(host), dtype=bool)
         urls = url.to_numpy()
-        prep = prepare_url_fast
         # group by host (positional indices) so each matcher is
         # fetched/compiled once per batch
         for h, pos in host.groupby(host, sort=False).indices.items():
@@ -225,10 +294,17 @@ def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):
                 matcher_cache[h] = matcher
             if matcher.empty:
                 continue
-            allowed_fn = matcher.allowed
-            out[pos] = [
-                allowed_fn(prep(u)) if u is not None else False for u in urls[pos]
-            ]
+            sub = urls[pos]
+            none_mask = pd.isna(sub)
+            if none_mask.any():
+                out[pos[none_mask]] = False  # null URL -> not allowed
+                pos = pos[~none_mask]
+                sub = sub[~none_mask]
+                if len(sub) == 0:
+                    continue
+            # two C-level sweeps over the whole group: batched prepare,
+            # then the fused multiline matcher (see HostMatcher)
+            out[pos] = matcher.allowed_batch(prepare_urls_batch(sub))
         return pd.Series(out)
 
     return robots_allowed
@@ -246,7 +322,9 @@ def canonicalize_udf(url: pd.Series) -> pd.Series:
 def prepare_path_udf(url: pd.Series) -> pd.Series:
     """path[?query][#fragment] slice used for robots matching
     (reference lib.rs:504-518)."""
-    return url.map(lambda u: prepare_url_fast(u) if u is not None else None)
+    if url.isna().any():
+        return url.map(lambda u: prepare_url_fast(u) if u is not None else None)
+    return pd.Series(prepare_urls_batch(url.to_numpy()), index=url.index)
 
 
 @F.pandas_udf(T.StringType())

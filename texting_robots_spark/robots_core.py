@@ -274,6 +274,53 @@ def parse_robots_txt(data: bytes) -> List[Line]:
     return _parse_lines(raw_lines)
 
 
+# Multiline twin of _STMT_RE: one finditer over the whole body collects
+# every typed statement in order, skipping raw lines entirely (raw lines
+# never influence compile_robots — they are filtered before grouping,
+# lib.rs:386-392). Only valid for '\r'-free bodies where '\n' line
+# semantics equal the reference's '\r*\n|\r+' terminators.
+_STMT_SCAN_RE = re.compile(
+    rb"^[ \t]*"
+    rb"(user-agent|user agent|useragent"
+    rb"|allow"
+    rb"|disallow|dissallow|dissalow|disalow|diasllow|disallaw"
+    rb"|sitemap|site-map|site map"
+    rb"|crawl-delay|crawl delay|crawldelay)"
+    rb"(?:[ \t]*:|[ \t])"
+    rb"([^#\n]*)(?:#[^\n]*)?$",
+    re.IGNORECASE | re.MULTILINE,
+)
+
+
+def scan_statements(data: bytes) -> List[Line]:
+    """Typed statements of a '\\r'-free robots.txt body in ONE C-level
+    regex sweep — equivalent to ``[ln for ln in parse_robots_txt(data)
+    if ln[0] != RAW]`` (differential-tested). A failed Crawl-Delay parse
+    is dropped (it would have demoted to Raw, parser.rs:147-165)."""
+    if data[:1] == b"\xef":
+        data = data[1:]
+    if data[:1] == b"\xbb":
+        data = data[1:]
+    if data[:1] == b"\xbf":
+        data = data[1:]
+    lines: List[Line] = []
+    append = lines.append
+    kinds = _KIND_OF_KEY
+    # findall materializes (key, value) pairs in C — no match objects
+    for key, value in _STMT_SCAN_RE.findall(data):
+        kind = kinds[key.lower()]
+        value = value.strip()
+        if kind == DELAY:
+            delay = _parse_delay_value(value)
+            if delay is not None:
+                append((DELAY, delay))
+        elif kind == DISALLOW and not value:
+            append((ALLOW, b"/"))
+        else:
+            append((kind, value))
+    return lines
+
+
 def _parse_lines(raw_lines: List[bytes]) -> List[Line]:
     match = _STMT_RE.match
     kinds = _KIND_OF_KEY
@@ -462,7 +509,13 @@ def compile_robots(
     # NUL scrub (lib.rs:353-357)
     if b"\x00" in txt:
         txt = txt.replace(b"\x00", b"\n")
-    lines = parse_robots_txt(txt)
+    if b"\r" in txt:
+        lines = parse_robots_txt(txt)
+    else:
+        # '\r'-free fast path (the overwhelming majority of real files):
+        # one finditer sweep collects the typed statements; raw lines are
+        # irrelevant to compilation (filtered before grouping anyway)
+        lines = scan_statements(txt)
 
     # Sitemaps are global; non-UTF-8 entries dropped (lib.rs:373-384)
     sitemaps: List[str] = []

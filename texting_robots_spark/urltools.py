@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional
 __all__ = [
     "prepare_url",
     "prepare_url_fast",
+    "prepare_urls_batch",
     "get_robots_url",
     "canonicalize_url",
     "split_absolute",
@@ -224,6 +225,53 @@ def prepare_url_fast(url: str) -> str:
     if "/." in tail or "%2e" in tail or "%2E" in tail:
         return prepare_url(url)  # possible dot segments -> full parser
     return tail if tail[0] == "/" else "/" + tail
+
+
+# Batched variant of _FAST_URL_RE: per-line under re.MULTILINE, with the
+# authority class additionally excluding '\n' and a catch-all (.*) second
+# alternative so every line yields exactly one match — group(1) = tail of
+# a fast-path URL, group(2) set when the line needs the full parser.
+_FAST_URL_LINE_RE = re.compile(
+    r"^(?:(?:https?|wss?|ftp)://[^/?#\\:@\[\]\n]+"
+    r"([/?#][\x21\x23-\x26\x28-\x3b\x3d\x3f-\x5b\x5d\x5f\x61-\x7a\x7c\x7e]*)?"
+    r"|(.*))$",
+    re.IGNORECASE | re.ASCII | re.MULTILINE,
+)
+
+
+def prepare_urls_batch(urls) -> list:
+    """``[prepare_url_fast(u) for u in urls]`` as ONE C-level regex sweep.
+
+    Joins the batch with '\\n' and runs a single multiline finditer: the
+    per-row Python cost drops to iterating match objects (the gate UDF's
+    hot loop). Rows whose line hits the catch-all (odd scheme/authority,
+    chars needing encoding, embedded newline batches) fall back to the
+    per-row function. Property-tested equal to prepare_url_fast."""
+    urls = list(urls)
+    if not urls:
+        return []
+    joined = "\n".join(urls)
+    if joined.count("\n") != len(urls) - 1:  # a URL contains '\n'
+        return [prepare_url_fast(u) for u in urls]
+    out: list = []
+    append = out.append
+    slow = prepare_url_fast
+    i = 0
+    for m in _FAST_URL_LINE_RE.finditer(joined):
+        tail = m.group(1)
+        if tail is not None:
+            if "/." in tail or "%2e" in tail or "%2E" in tail:
+                append(slow(urls[i]))  # possible dot segments
+            else:
+                append(tail if tail[0] == "/" else "/" + tail)
+        elif m.group(2) is not None:
+            append(slow(urls[i]))  # odd URL -> full parser
+        else:
+            append("/")  # fast URL with no tail at all
+        i += 1
+    if i != len(urls):  # desync (defensive) -> per-row
+        return [slow(u) for u in urls]
+    return out
 
 
 def get_robots_url(url: str) -> str:
