@@ -94,12 +94,32 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(docs: DataFrame, text_col: str = "text", n_hashes: int = 4) -> DataFrame:
+def base_hash_expr(col, base_hash: str = "xxhash64") -> Column:
+    """Deterministic int64 hash of a string column.
+
+    ``xxhash64`` (default): JVM-side, fastest — the production path.
+    ``md5``: first 15 hex chars of md5 as a 60-bit non-negative int —
+    byte-identical in DuckDB (``CAST('0x'||substr(md5(s),1,15) AS
+    BIGINT)``), which makes every sketch built on it oracle-checkable.
+    """
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    if base_hash == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown base_hash: {base_hash!r}")
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 4,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
     """Add ``minhash`` array<long>: min over shingles of a_i*h(s)+b_i.
 
-    Uses xxhash64 for the base shingle hash (JVM-side, vectorized); the
-    permutation arithmetic runs as native expressions over the shingle
-    array — no Python in the loop.
+    The base shingle hash is JVM-side (xxhash64 or md5-derived, see
+    ``base_hash_expr``); the permutation arithmetic runs as native
+    expressions over the shingle array — no Python in the loop.
 
     The shingle array and base hashes are materialized as intermediate
     columns so the n_hashes transforms reuse them instead of re-inlining
@@ -111,7 +131,7 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n_hashes: int = 4
         "_mh_base",
         F.transform(
             shingles(F.col(text_col)),
-            lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 31) - 1)),
+            lambda s: F.pmod(base_hash_expr(s, base_hash), F.lit((1 << 31) - 1)),
         ),
     )
     sig = F.array(
@@ -135,32 +155,37 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     n_hashes: int = 4,
     band_size: int = 2,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding (id_a < id_b, distinct).
 
     Each band of the minhash signature becomes a bucket key; a self-join
     per bucket (shuffle on the band hash, never a cross join) yields
-    candidates; callers verify with ``jaccard_pairs``.
+    candidates; callers verify with ``jaccard_pairs``. With
+    ``base_hash='md5'`` the bucket key stays the raw band string (wider
+    shuffle key, but DuckDB-reproducible end to end).
     """
-    sig = minhash_signature(docs.select(id_col, text_col), text_col, n_hashes)
+    sig = minhash_signature(
+        docs.select(id_col, text_col), text_col, n_hashes, base_hash
+    )
     n_bands = n_hashes // band_size
+
+    def _bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", b * band_size + j + 1).cast("string")
+                for j in range(band_size)
+            ],
+        )
+        return joined if base_hash == "md5" else F.xxhash64(joined)
+
     bands = sig.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * band_size + j + 1).cast("string")
-                                    for j in range(band_size)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                     for b in range(n_bands)
                 ]
             )
@@ -176,13 +201,22 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """Add ``simhash`` long: per-token xxhash64 bit-vote fingerprint.
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Add ``simhash`` long: per-token bit-vote fingerprint.
 
     Pure native expressions: for each bit position, count tokens with the
-    bit set vs total; majority sets the bit.
+    bit set vs total; majority sets the bit. ``base_hash='md5'`` gives a
+    DuckDB-reproducible variant (use bits<=60: the md5-derived base hash
+    is 60 bits wide, see base_hash_expr).
     """
-    toks = F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
+    toks = F.transform(
+        tokenize(F.col(text_col)), lambda t: base_hash_expr(t, base_hash)
+    )
     total = F.size(toks)
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
