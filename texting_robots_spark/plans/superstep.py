@@ -273,34 +273,24 @@ def frontier_step(
     filters_increment = build_bloom(new_rows, cfg.bloom)
 
     # --- 8. politeness state, metrics, lineage, checkpoint ------------------
-    # ONE action over the (small) gated batch yields per-host politeness
-    # advances AND the fetched/disallowed counters
-    stats = (
-        gated.groupBy("host", "allowed")
-        .agg(F.count("*").alias("n"), F.max("crawl_delay").alias("delay"))
-        .collect()
+    # politeness advance from the rows actually scheduled, not the cap.
+    # state_updates stays a DataFrame end to end — no collect() of
+    # per-host rows and no createDataFrame round-trip, so the update set
+    # scales to millions of active hosts per step (it shuffles on host
+    # and MERGEs into host_state like any other table). crawl_delay is
+    # constant per host (broadcast delay join + coalesce), so max() just
+    # picks it.
+    state_updates = gated.groupBy("host").agg(
+        (F.lit(t0) + F.count("*") * F.max("crawl_delay")).alias("next_allowed")
     )
-    per_host_n: dict = {}
-    per_host_delay: dict = {}
-    n_fetched = 0
-    n_disallowed = 0
-    for r in stats:
-        per_host_n[r["host"]] = per_host_n.get(r["host"], 0) + r["n"]
-        per_host_delay[r["host"]] = r["delay"]
-        if r["allowed"]:
-            n_fetched += r["n"]
-        else:
-            n_disallowed += r["n"]
-    # politeness advance from the rows actually scheduled, not the cap;
-    # merged into the host_state side table (scheduled hosts per step are
-    # bounded by the batch, so this update set is small by construction)
-    state_updates = spark.createDataFrame(
-        [
-            (h, t0 + n * per_host_delay[h])
-            for h, n in sorted(per_host_n.items())
-        ],
-        "host string, next_allowed double",
-    )
+    # fetched/disallowed counters: one single-row aggregate over the
+    # cached gated batch (metrics must reach the driver regardless)
+    counts = gated.agg(
+        F.sum(F.col("allowed").cast("long")).alias("f"),
+        F.sum((~F.col("allowed")).cast("long")).alias("d"),
+    ).collect()[0]
+    n_fetched = int(counts["f"] or 0)
+    n_disallowed = int(counts["d"] or 0)
     if host_state is not None:
         new_host_state = host_state.join(
             state_updates.select("host"), "host", "left_anti"
