@@ -1,0 +1,96 @@
+"""gate_sharded (cogrouped applyInPandas, no driver collect/broadcast)
+must be row-identical to gate (broadcast path) — including unknown
+hosts, null URLs, parse errors, and the delay column — and must work
+with a rules table larger than spark.sql.autoBroadcastJoinThreshold
+would allow to broadcast-join comfortably."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from texting_robots_spark.conformance import CORPUS
+from texting_robots_spark.operators.gate import (
+    RulesBroadcast,
+    build_rules_per_agent,
+    gate,
+    gate_sharded,
+)
+
+CASES = [c for c in CORPUS if c.allowed and not c.parse_error]
+
+
+@pytest.fixture(scope="module")
+def corpus_frames(spark):
+    raw = spark.createDataFrame(
+        [(c.case_id, bytearray(c.robots), c.agent) for c in CASES],
+        "host string, body binary, agent string",
+    )
+    rules_df = build_rules_per_agent(raw).drop("agent").cache()
+    cand = spark.createDataFrame(
+        [(c.case_id, u) for c in CASES for u, _ in c.allowed]
+        # salt in rows the broadcast path treats specially
+        + [
+            ("unknown.example", "https://unknown.example/x"),
+            (CASES[0].case_id, None),
+            ("unknown.example", None),
+        ],
+        "host string, url string",
+    ).cache()
+    return rules_df, cand
+
+
+def _as_map(rows):
+    return {(r["host"], r["url"]): (r["allowed"], r["crawl_delay"]) for r in rows}
+
+
+def test_sharded_equals_broadcast_on_corpus(spark, corpus_frames):
+    rules_df, cand = corpus_frames
+    bc = RulesBroadcast(spark, rules_df)
+    want = _as_map(gate(cand, bc, with_delay=True).collect())
+    for n_salts in (1, 8):
+        got = _as_map(
+            gate_sharded(cand, rules_df, with_delay=True, n_salts=n_salts).collect()
+        )
+        assert got == want, f"n_salts={n_salts}"
+
+
+def test_sharded_no_delay_column(spark, corpus_frames):
+    rules_df, cand = corpus_frames
+    out = gate_sharded(cand, rules_df, with_delay=False)
+    assert "crawl_delay" not in out.columns
+    assert out.count() == cand.count()
+
+
+def test_sharded_beyond_broadcast_scale(spark):
+    """A wide synthetic rules table (more hosts than one would want to
+    collect) gates correctly: every host's own /private is denied, /ok
+    allowed — without any driver-side rules materialization."""
+    n_hosts = 2000
+    hosts = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+    )
+    body = b"User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+    raw = hosts.select(
+        "host",
+        F.lit(bytearray(body)).alias("body"),
+        F.lit("TRSBot").alias("agent"),
+    )
+    rules_df = build_rules_per_agent(raw).drop("agent")
+    cand = hosts.select(
+        "host",
+        F.concat(F.lit("https://"), "host", F.lit("/private/x")).alias("url"),
+    ).unionByName(
+        hosts.select(
+            "host", F.concat(F.lit("https://"), "host", F.lit("/ok")).alias("url")
+        )
+    )
+    out = gate_sharded(cand, rules_df, with_delay=True)
+    agg = out.agg(
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        F.count("*").alias("n"),
+        F.min("crawl_delay").alias("dmin"),
+        F.max("crawl_delay").alias("dmax"),
+    ).collect()[0]
+    assert agg["n"] == 2 * n_hosts
+    assert agg["n_allowed"] == n_hosts  # exactly the /ok half
+    assert agg["dmin"] == 2.0 and agg["dmax"] == 2.0

@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import make_allowed_udf, make_parse_robots_udf
 
-__all__ = ["build_rules", "build_rules_per_agent", "RulesBroadcast", "gate"]
+__all__ = [
+    "build_rules",
+    "build_rules_per_agent",
+    "RulesBroadcast",
+    "gate",
+    "gate_sharded",
+]
 
 
 def build_rules(robots_raw: DataFrame, agent: str) -> DataFrame:
@@ -110,3 +116,107 @@ def gate(
                 "crawl_delay", F.coalesce("crawl_delay", F.lit(float(default_delay)))
             )
     return out
+
+
+def gate_sharded(
+    candidates: DataFrame,
+    rules_df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    with_delay: bool = True,
+    on_parse_error: str = "disallow",
+    default_delay: Optional[float] = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """``gate`` without the driver collect/broadcast — for rules tables
+    too big for one broadcast (10^7-10^8 hosts would OOM the driver in
+    RulesBroadcast).
+
+    Shape: candidates shuffle on (host, salt); rules rows are replicated
+    ``n_salts`` times (one robots.txt per host — tiny next to the
+    candidate side) and cogrouped with their candidates, so each task
+    compiles its host's matcher once and runs the same batched
+    ``allowed_batch`` sweep as the broadcast path. The salt bounds the
+    hottest host's candidates to ~1/n_salts of its rows per task.
+
+    Output and semantics are identical to ``gate`` (verified by the
+    equivalence test on the conformance corpus): hosts absent from
+    rules_df allow everything; null URLs under a known host gate False;
+    ``crawl_delay`` is attached from the rules row when ``with_delay``.
+    """
+    import pandas as pd
+
+    from ..functions.udfs import HostMatcher
+    from ..urltools import prepare_urls_batch
+
+    error_allows = on_parse_error == "allow"
+    cand_fields = [
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ]
+    out_schema = ", ".join(cand_fields) + ", allowed boolean"
+    if with_delay:
+        out_schema += ", crawl_delay double"
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def _gate(key, cand: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cand = cand.drop(columns=["_salt"])
+        n = len(cand)
+        if n == 0:
+            out = cand.assign(allowed=pd.Series([], dtype=bool))
+            return out.assign(crawl_delay=pd.Series([], dtype=float)) if with_delay else out
+        delay = None
+        if len(rdf) == 0:
+            res = np.ones(n, dtype=bool)  # no robots.txt -> allowed
+        else:
+            row = rdf.iloc[0]
+            delay = row["delay"]
+            if bool(row["parse_error"]):
+                res = np.full(n, error_allows)
+            else:
+                rrows = row["rules"]  # numpy array of dicts (Arrow struct)
+                rules = tuple(
+                    (x["pattern"], x["is_allow"])
+                    for x in (rrows if rrows is not None else ())
+                )
+                matcher = HostMatcher(rules)
+                if matcher.empty:
+                    res = np.ones(n, dtype=bool)
+                else:
+                    urls = cand[url_col].to_numpy()
+                    none_mask = pd.isna(urls)
+                    res = np.ones(n, dtype=bool)
+                    if none_mask.any():
+                        res[none_mask] = False
+                        urls = urls[~none_mask]
+                    if len(urls):
+                        res[~none_mask] = matcher.allowed_batch(
+                            prepare_urls_batch(urls)
+                        )
+        out = cand.assign(allowed=res)
+        if with_delay:
+            if delay is not None and delay == delay:  # not None, not NaN
+                d = float(delay)
+            elif default_delay is not None:
+                d = float(default_delay)
+            else:
+                d = None  # -> SQL NULL, matching gate()'s left join
+            out = out.assign(crawl_delay=d)
+        return out
+
+    salted = candidates.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)).cast("int")
+    )
+    rules_salted = rules_df.select(
+        host_col if host_col in rules_df.columns else F.col("host").alias(host_col),
+        "rules",
+        "delay",
+        "parse_error",
+    ).withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
+    return (
+        salted.groupBy(host_col, "_salt")
+        .cogroup(rules_salted.groupBy(host_col, "_salt"))
+        .applyInPandas(_gate, out_schema)
+        .select(*cand_cols, *(["allowed", "crawl_delay"] if with_delay else ["allowed"]))
+    )
