@@ -423,6 +423,19 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, n_planes=4)
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN: k-means coarse quantizer, probe top-P cells, exact
+    cosine within (similarity.py:ivf_topk). Rows-only — the trained
+    centroids are not SQL-expressible; recall vs the exact cosine_topk
+    oracle is asserted in pytest."""
+    from texting_robots_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, n_probes=4
+    )
+
+
 def _media_features(spark, sf_dir):
     from texting_robots_spark.operators.multimodal import (
         extract_media_features,
@@ -554,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_superstep": _crawl_superstep,
         "lang_id": _lang_id,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "media_features": _media_features,
     }
 

@@ -161,3 +161,28 @@ def test_multimodal_feature_extraction(spark):
     assert sorted(r["media_ref"] for r in rows) == sorted(r["media_ref"] for r in again)
     with pytest.raises(Exception):
         extract_media_features(media, decode_stub=False).collect()
+
+
+def test_ivf_topk_recall_beats_lsh_at_equal_budget(spark, embeddings):
+    """IVF with n_probes/n_cells = 1/4 of the corpus scored per query
+    must reach at least the recall of hyperplane LSH at a comparable
+    candidate budget (n_planes=4, multiprobe=1 -> (1+4)/16 ~ 31% of the
+    corpus), and be deterministic across runs."""
+    from texting_robots_spark.operators.similarity import ivf_topk, ivf_train
+
+    queries = embeddings.where(F.col("vec_id") < 20)
+    exact = cosine_topk(embeddings, queries, k=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    lsh = lsh_topk(embeddings, queries, k=3, dim=64, n_planes=4).collect()
+    lsh_recall = len(exact_set & {(r["query_id"], r["neighbor_id"]) for r in lsh}) / len(exact_set)
+
+    cents = ivf_train(embeddings, n_cells=16, n_iters=4)
+    ivf1 = ivf_topk(embeddings, queries, centroids=cents, k=3, n_probes=4).collect()
+    ivf2 = ivf_topk(embeddings, queries, centroids=cents, k=3, n_probes=4).collect()
+    s1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf1}
+    s2 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf2}
+    assert s1 == s2, "IVF result not deterministic"
+    ivf_recall = len(exact_set & {(q, n) for q, n, _ in s1}) / len(exact_set)
+    assert ivf_recall >= lsh_recall, f"IVF {ivf_recall} < LSH {lsh_recall}"
+    assert ivf_recall >= 0.5, f"IVF recall too low: {ivf_recall}"

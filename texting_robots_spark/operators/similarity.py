@@ -19,11 +19,22 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-__all__ = ["with_unit_norm", "cosine_topk", "lsh_topk"]
+__all__ = [
+    "with_unit_norm",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_train",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def _dot(a, b):
@@ -111,7 +122,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 1,
@@ -120,7 +131,17 @@ def lsh_topk(
     cosine within buckets. 2^n_planes buckets; queries multi-probe their
     own bucket plus every bucket at Hamming distance <= ``multiprobe``
     (bit flips), trading a small candidate-set increase for much better
-    recall. Still a bucket join — never a cross join."""
+    recall. Still a bucket join — never a cross join.
+
+    Sizing: expected bucket occupancy is ~N/2^n_planes, and each query
+    scores (1 + n_planes) buckets at multiprobe=1 — so candidates/query
+    ~= N * (1+n_planes) / 2^n_planes. The default n_planes=12 keeps that
+    to ~0.3% of the corpus; for 10^9 vectors use n_planes≈20 (or switch
+    to ``ivf_topk``, which gives direct control over the probe budget).
+    The query side is broadcast (F.broadcast(q)): this path assumes a
+    small query set; for query sets beyond broadcast size, drop the
+    explicit broadcast hint so the planner picks a shuffle join on
+    ``bucket``."""
     planes = [_plane(dim, p) for p in range(n_planes)]
 
     def bucket_of(vec):
@@ -155,6 +176,154 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: k-means coarse quantizer + probed-cell exact search
+# ---------------------------------------------------------------------------
+
+
+def _assign_udf(centroids):
+    """Pandas UDF: vector -> nearest centroid id (squared-L2 argmin).
+
+    One numpy matmul per Arrow batch — ||v-c||^2 = ||v||^2 - 2 v.c +
+    ||c||^2 and ||v||^2 is constant per row, so argmin over
+    (-2 v.C^T + ||C||^2) suffices. Centroids ride the closure (they are
+    n_cells x dim doubles — small), so no join and no shuffle on the
+    corpus side.
+    """
+    C = centroids  # (n_cells, dim)
+    c_sq = (C * C).sum(axis=1)  # (n_cells,)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vec: pd.Series) -> pd.Series:
+        V = np.vstack(vec.to_numpy())  # (batch, dim)
+        d = c_sq - 2.0 * (V @ C.T)  # (batch, n_cells)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_udf(centroids, n_probes: int):
+    """Pandas UDF: vector -> the n_probes nearest centroid ids."""
+    C = centroids
+    c_sq = (C * C).sum(axis=1)
+    p = min(n_probes, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vec: pd.Series) -> pd.Series:
+        V = np.vstack(vec.to_numpy())
+        d = c_sq - 2.0 * (V @ C.T)
+        # argsort for determinism (argpartition ties are order-unstable)
+        idx = np.argsort(d, kind="stable", axis=1)[:, :p].astype("int32")
+        return pd.Series(list(idx))
+
+    return probe
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the coarse quantizer (Lloyd's k-means) — returns a numpy
+    (n_cells, dim) centroid matrix.
+
+    Deterministic: seeds are the n_cells rows with the smallest
+    xxhash64(id) (a pseudo-random but reproducible sample); each
+    iteration assigns via one narrow pandas-UDF pass and re-averages via
+    a (cell, dim_pos) aggregate — the only driver-side data is the
+    centroid matrix itself (n_cells x dim doubles), which IVF needs on
+    the driver anyway. Empty cells keep their previous centroid.
+    """
+    seeds = (
+        embeddings.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    C = np.array([[float(x) for x in r[0]] for r in seeds], dtype=np.float64)
+    vecs = embeddings.select(F.col(vec_col).alias("_v"))
+    for _ in range(n_iters):
+        assign = _assign_udf(C)
+        assigned = vecs.withColumn("_cell", assign(F.col("_v")))
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg(F.col("_val").cast("double")).alias("_m"))
+            .collect()
+        )
+        C2 = C.copy()
+        for r in means:
+            C2[r["_cell"], r["_pos"]] = r["_m"]
+        C = C2
+    return C
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id (the IVF index column).
+
+    At scale this column is what you PARTITION the stored index by
+    (write.partitionBy(cell)), so probing reads only the probed cells'
+    files — partition pruning does the candidate filtering."""
+    return embeddings.withColumn(cell_col, _assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids=None,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: score only the rows whose cell
+    is among each query's ``n_probes`` nearest cells.
+
+    Candidates/query ~= N * n_probes / n_cells — a direct budget knob
+    (vs the hyperplane LSH where recall depends on bucket geometry).
+    Cell join, never a cross join; the query side is small/broadcast.
+    ``centroids`` can be passed in (pre-trained index) or trained here.
+    """
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    c = ivf_assign(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        centroids,
+        vec_col="c_vec",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probe_udf(centroids, n_probes)(F.col(vec_col))).alias("cell"),
+    )
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", sim)
         .withColumn("rank", F.row_number().over(w))
