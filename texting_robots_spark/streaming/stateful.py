@@ -1,0 +1,109 @@
+"""Stateful streaming frontier: per-host politeness via
+``applyInPandasWithState`` (SURVEY.md §2.B — the piece scoped out of the
+round-1 minimum slice).
+
+The batch superstep holds politeness in the ``host_state`` side table and
+re-reads it every step. Here the same per-host clock lives in Structured
+Streaming GROUP STATE: candidate batches arrive as micro-batches (one
+per crawl step), each host group schedules its top-k under its own
+``next_allowed`` clock, emits (url, fetch_time) rows, and persists the
+advanced clock in state — no side table, no re-read, exactly-once under
+checkpointing.
+
+Scheduling semantics are the batch superstep's, verbatim
+(plans/superstep.py §2): rank by (priority desc, url_hash asc);
+allowance = min(per_host_k, max(1, floor(step_seconds / delay)));
+fetch_time = t0 + (rank-1)*delay over ALL scheduled rows (disallowed
+slots consume politeness budget); next_allowed = t0 + n*delay. The
+equivalence test replays a 2-step batch crawl's eligible sets through
+this operator and asserts the identical fetch set.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+__all__ = ["SCHED_INPUT_DDL", "SCHED_OUTPUT_DDL", "stream_politeness_schedule"]
+
+# caller attaches crawl_delay (broadcast delay join, default coalesced)
+# and allowed (the stationary streaming gate) before grouping
+SCHED_INPUT_DDL = (
+    "host string, url string, url_hash long, priority double, depth int, "
+    "crawl_delay double, allowed boolean, step int"
+)
+SCHED_OUTPUT_DDL = (
+    "host string, url string, url_hash long, priority double, depth int, "
+    "fetch_time double, step int"
+)
+_STATE_DDL = "next_allowed double"
+
+
+def stream_politeness_schedule(
+    candidates: DataFrame,
+    per_host_k: int,
+    step_seconds: float,
+) -> DataFrame:
+    """Schedule a streaming candidate feed under per-host politeness state.
+
+    ``candidates`` is a streaming DataFrame with SCHED_INPUT_DDL columns.
+    Returns the scheduled-and-allowed rows with their virtual fetch_time.
+    State per host is ONE double (the politeness clock) — bounded by the
+    active-host count, not the frontier size, which is what makes this
+    viable at 10^8 hosts (8 bytes/host of state).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def schedule(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        next_allowed = state.get[0] if state.exists else float("-inf")
+        outs = []
+        # a micro-batch normally carries one step; sorted-step iteration
+        # also keeps semantics right if the source coalesces several
+        for step in sorted(rows["step"].unique()):
+            t0 = float(step) * step_seconds
+            if next_allowed is not None and next_allowed > t0:
+                continue  # host blocked this step (batch §1 eligibility)
+            sub = rows[rows["step"] == step]
+            if len(sub) == 0:
+                continue
+            sub = sub.sort_values(
+                ["priority", "url_hash"], ascending=[False, True]
+            )
+            delay = float(sub["crawl_delay"].iloc[0])
+            allowance = min(
+                per_host_k,
+                max(1, math.floor(step_seconds / max(delay, 1e-9))),
+            )
+            take = sub.head(int(allowance)).reset_index(drop=True)
+            take = take.assign(fetch_time=t0 + take.index.to_numpy() * delay)
+            next_allowed = t0 + len(take) * delay
+            emitted = take[take["allowed"].astype(bool)]
+            if len(emitted):
+                outs.append(
+                    emitted[
+                        [
+                            "host",
+                            "url",
+                            "url_hash",
+                            "priority",
+                            "depth",
+                            "fetch_time",
+                            "step",
+                        ]
+                    ]
+                )
+        state.update((float(next_allowed),))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return candidates.groupBy("host").applyInPandasWithState(
+        schedule,
+        outputStructType=SCHED_OUTPUT_DDL,
+        stateStructType=_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
