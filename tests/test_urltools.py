@@ -135,3 +135,41 @@ def test_canonicalize_url():
     assert canonicalize_url("/relative/only") is None
     assert canonicalize_url("mailto:bob@example.com") is None
     assert canonicalize_url("ipfs://etc/") is None
+
+
+# --- round-2 WHATWG alignment (ADVICE r1): non-special authorities,
+# opaque-path C0 encoding, IDNA hosts, mixed-case dot segments ----------
+
+
+def test_non_special_scheme_authority_is_parsed():
+    # rust-url parses '//' authorities for non-special schemes too
+    assert prepare_url("foo://example.com/admin") == "/admin"
+    assert prepare_url("foo://example.com") == ""
+    assert prepare_url("foo://u:p@h:123/x?q#f") == "/x?q#f"
+
+
+def test_opaque_path_c0_encoding():
+    # C0 set: controls + non-ASCII are encoded, space/quotes are NOT
+    assert prepare_url("mailto:a b") == "a b"
+    assert prepare_url("mailto:a\x01b") == "a%01b"
+    assert prepare_url("mailto:á") == "%C3%A1"
+    assert prepare_url("mailto:x?q#f") == "x?q#f"
+
+
+def test_idna_host_punycode():
+    assert (
+        get_robots_url("https://bücher.example/x")
+        == "https://xn--bcher-kva.example/robots.txt"
+    )
+    assert (
+        canonicalize_url("https://BÜCHER.example/x")
+        == "https://xn--bcher-kva.example/x"
+    )
+
+
+def test_mixed_case_dot_segments():
+    # every %2e case mix resolves (WHATWG matches case-insensitively)
+    for dots in ("%2e%2E", "%2E%2e", "%2e%2E", ".%2E", "%2E."):
+        assert (
+            prepare_url(f"https://h/a/b/{dots}/c") == "/a/c"
+        ), dots

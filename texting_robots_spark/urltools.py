@@ -63,24 +63,31 @@ _PATH_SET = _FRAGMENT_SET | frozenset("#?{}^")
 _QUERY_SET = frozenset(' "<>#') | frozenset("'")
 
 
+# single-dot / double-dot segment forms, compared lowercase so every
+# %2e / %2E case mix is covered (WHATWG matches case-insensitively)
+_DOT1 = (".", "%2e")
+_DOT2 = ("..", "%2e.", ".%2e", "%2e%2e")
+
+
 def _remove_dot_segments(path: str) -> str:
     """WHATWG/RFC3986 dot-segment removal over a '/'-separated path."""
-    if "." not in path:
+    if "." not in path and "%2e" not in path and "%2E" not in path:
+        # no literal dot AND no percent-encoded dot ('/%2e%2e/' contains
+        # no '.' at all) -> nothing to resolve
         return path
     output = []
     for seg in path.split("/"):
-        if seg in (".", "%2e", "%2E"):
+        low = seg.lower()
+        if low in _DOT1:
             continue
-        if seg in ("..", "%2e.", ".%2e", "%2e%2e", "%2E%2E", ".%2E", "%2E."):
+        if low in _DOT2:
             if len(output) > 1:
                 output.pop()
             continue
         output.append(seg)
     # preserve a trailing slash when the last segment was '.'/'..'
-    last = path.rsplit("/", 1)[-1]
-    if last in (".", "..", "%2e", "%2E", "%2e%2e", "%2E%2E") and (
-        not output or output[-1] != ""
-    ):
+    last = path.rsplit("/", 1)[-1].lower()
+    if (last in _DOT1 or last in _DOT2) and (not output or output[-1] != ""):
         output.append("")
     result = "/".join(output)
     if not result.startswith("/"):
@@ -98,6 +105,51 @@ class SplitUrl(NamedTuple):
     fragment: Optional[str]
 
 
+def _split_non_special(scheme: str, rest: str, url: str) -> SplitUrl:
+    """Non-special scheme (foo:, mailto:, ipfs:, ...) per WHATWG/rust-url:
+    a '//' prefix introduces a real authority (so 'foo://h/admin' has
+    path '/admin', not '//h/admin'); otherwise the remainder is an opaque
+    path percent-encoded with the C0 set (controls + non-ASCII only)."""
+    # query/fragment split applies in both forms
+    frag: Optional[str] = None
+    query: Optional[str] = None
+    hash_at = rest.find("#")
+    if hash_at != -1:
+        frag = rest[hash_at + 1 :]
+        rest = rest[:hash_at]
+    q_at = rest.find("?")
+    if q_at != -1:
+        query = rest[q_at + 1 :]
+        rest = rest[:q_at]
+    if rest[:2] == "//":
+        # authority form: host may be empty and is opaque (not lowercased
+        # beyond scheme rules); '\\' is NOT a separator for non-special
+        j = 2
+        while j < len(rest) and rest[j] != "/":
+            j += 1
+        authority = rest[2:j]
+        tail = rest[j:]
+        userinfo, sep, hostport = authority.rpartition("@")
+        if not sep:
+            hostport = authority
+            userinfo = ""
+        host, _, port_s = hostport.partition(":")
+        port: Optional[int] = None
+        if port_s:
+            if not (port_s.isascii() and port_s.isdigit()):
+                raise UrlParseError(f"invalid port in {url!r}")
+            port = int(port_s)
+            if port > 65535:
+                raise UrlParseError(f"port out of range in {url!r}")
+        path = _remove_dot_segments(tail) if tail else ""
+        path = _encode_with(path, _PATH_SET)
+        return SplitUrl(scheme, userinfo, host, port, path, query, frag)
+    # opaque path: C0 percent-encode set = controls/DEL/non-ASCII only
+    return SplitUrl(
+        scheme, "", "", None, _encode_with(rest, frozenset()), query, frag
+    )
+
+
 def split_absolute(url: str) -> Optional[SplitUrl]:
     """Split an absolute special-scheme URL into normalized components.
 
@@ -112,8 +164,7 @@ def split_absolute(url: str) -> Optional[SplitUrl]:
     scheme = m.group(1).lower()
     rest = m.group(2)
     if scheme not in _SPECIAL_SCHEMES:
-        # opaque / cannot-be-base style: path is the raw remainder
-        return SplitUrl(scheme, "", "", None, rest, None, None)
+        return _split_non_special(scheme, rest, url)
     # special scheme: skip any run of slashes/backslashes, then authority
     i = 0
     while i < len(rest) and rest[i] in "/\\":
@@ -155,6 +206,16 @@ def split_absolute(url: str) -> Optional[SplitUrl]:
         if port == _SPECIAL_SCHEMES[scheme]:
             port = None  # WHATWG drops the scheme-default port at parse time
     host = host.lower()
+    if not host.isascii():
+        # IDNA/punycode (rust-url applies UTS46): per-label so empty
+        # labels (trailing dots) pass through like the reference
+        try:
+            host = ".".join(
+                lab if lab.isascii() else lab.encode("idna").decode("ascii")
+                for lab in host.split(".")
+            )
+        except UnicodeError:
+            raise UrlParseError(f"invalid IDNA host in {url!r}") from None
     # split path / query / fragment
     frag: Optional[str] = None
     query: Optional[str] = None
@@ -204,7 +265,9 @@ def prepare_url(raw_url: str) -> str:
 # its raw tail. Tail character class = printable ASCII minus the union of
 # the path/query/fragment encode sets (space " ' < > \\ ^ ` { }).
 _FAST_URL_RE = re.compile(
-    r"^(?:https?|wss?|ftp)://[^/?#\\:@\[\]]+"
+    # authority must be ASCII: non-ASCII hosts go through the full parser
+    # (IDNA, or the reference's percent-encode fallback on parse failure)
+    r"^(?:https?|wss?|ftp)://[\x21-\x22\x24-\x2e\x30-\x39\x3b-\x3e\x41-\x5a\x5e-\x7e]+"
     r"([/?#][\x21\x23-\x26\x28-\x3b\x3d\x3f-\x5b\x5d\x5f\x61-\x7a\x7c\x7e]*)?$",
     # ASCII flag: without it, IGNORECASE makes [a-z] match e.g. 'İ'
     re.IGNORECASE | re.ASCII,
@@ -232,7 +295,7 @@ def prepare_url_fast(url: str) -> str:
 # alternative so every line yields exactly one match — group(1) = tail of
 # a fast-path URL, group(2) set when the line needs the full parser.
 _FAST_URL_LINE_RE = re.compile(
-    r"^(?:(?:https?|wss?|ftp)://[^/?#\\:@\[\]\n]+"
+    r"^(?:(?:https?|wss?|ftp)://[\x21-\x22\x24-\x2e\x30-\x39\x3b-\x3e\x41-\x5a\x5e-\x7e]+"
     r"([/?#][\x21\x23-\x26\x28-\x3b\x3d\x3f-\x5b\x5d\x5f\x61-\x7a\x7c\x7e]*)?"
     r"|(.*))$",
     re.IGNORECASE | re.ASCII | re.MULTILINE,
