@@ -29,6 +29,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -45,6 +47,21 @@ from ..sources.frontier_store import FRONTIER_DDL, FrontierStore
 __all__ = ["CrawlConfig", "seed_frontier", "frontier_step", "run_crawl"]
 
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+
+
+def _tracer():
+    """Phase-timing printer for SPARK_GRAFT_TRACE=1 (perf diagnosis)."""
+    if os.environ.get("SPARK_GRAFT_TRACE") != "1":
+        return lambda label: None
+    state = {"t": time.time()}
+
+    def mark(label):
+        now = time.time()
+        print(f"    [{label}] {now - state['t']:.2f}s", flush=True)
+        state["t"] = now
+
+    return mark
+
 
 
 @dataclass
@@ -116,6 +133,7 @@ def frontier_step(
     cfg: CrawlConfig,
 ) -> dict:
     """Run one superstep against the current snapshot; returns metrics."""
+    _mark = _tracer()
     meta = store.meta()
     step = int(meta.get("step", -1)) + 1
     t0 = step * cfg.step_seconds
@@ -186,6 +204,7 @@ def frontier_step(
         scheduled = ranked
     scheduled.cache()
     n_scheduled = scheduled.count()
+    _mark("schedule+count")
     if n_scheduled == 0:
         store.commit_step(
             spark,
@@ -196,9 +215,21 @@ def frontier_step(
         return {"step": step, "scheduled": 0, "fetched": 0, "disallowed": 0, "new_urls": 0}
 
     # --- 3. robots gate ----------------------------------------------------
-    gated = gate(
-        scheduled, rules, with_delay=False, on_parse_error=cfg.on_parse_error
-    ).cache()
+    # fetched/disallowed counters ride the plan as an Observation: they
+    # are collected by the FIRST action that computes `gated` (the
+    # commit's delta write) — no dedicated aggregate job per step
+    from pyspark.sql import Observation
+
+    obs_gate = Observation()
+    gated = (
+        gate(scheduled, rules, with_delay=False, on_parse_error=cfg.on_parse_error)
+        .observe(
+            obs_gate,
+            F.sum(F.col("allowed").cast("long")).alias("f"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .cache()
+    )
     fetched_batch = gated.where(F.col("allowed"))
     disallowed_batch = gated.where(~F.col("allowed"))
 
@@ -238,15 +269,22 @@ def frontier_step(
         new_rows = candidates.join(
             frontier.select("url_hash"), "url_hash", "left_anti"
         )
-    new_rows = new_rows.select(
-        "url_hash",
-        "url",
-        "host",
-        "priority",
-        "depth",
-        F.lit("queued").alias("state"),
-        F.lit(0.0).alias("not_before"),
-    ).cache()
+    from pyspark.sql import Observation
+
+    obs_new = Observation()
+    new_rows = (
+        new_rows.select(
+            "url_hash",
+            "url",
+            "host",
+            "priority",
+            "depth",
+            F.lit("queued").alias("state"),
+            F.lit(0.0).alias("not_before"),
+        )
+        .observe(obs_new, F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
 
     # --- 7. state updates + MERGE + bloom increment -------------------------
     done = fetched_batch.select(
@@ -283,26 +321,35 @@ def frontier_step(
     state_updates = gated.groupBy("host").agg(
         (F.lit(t0) + F.count("*") * F.max("crawl_delay")).alias("next_allowed")
     )
-    # fetched/disallowed counters: one single-row aggregate over the
-    # cached gated batch (metrics must reach the driver regardless)
-    counts = gated.agg(
-        F.sum(F.col("allowed").cast("long")).alias("f"),
-        F.sum((~F.col("allowed")).cast("long")).alias("d"),
-    ).collect()[0]
-    n_fetched = int(counts["f"] or 0)
-    n_disallowed = int(counts["d"] or 0)
     if host_state is not None:
         new_host_state = host_state.join(
             state_updates.select("host"), "host", "left_anti"
         ).unionByName(state_updates)
     else:
         new_host_state = state_updates
-    n_new = new_rows.count()
+    # DELTA commit: per-step write cost is O(batch) rows + one bloom
+    # increment, not a full-frontier rewrite; the store compacts to a
+    # full base every compact_every steps (merge-on-read in between).
+    # Committing FIRST also fires both observations (the delta write is
+    # the first action over gated/new_rows), so the metric counters
+    # below are free.
+    store.commit_step(
+        spark,
+        updates,
+        filters_increment,
+        meta={"step": step},
+        host_state=new_host_state,
+    )
+    _mark("commit_step")
+    n_fetched = int(obs_gate.get["f"] or 0)
+    n_disallowed = int(obs_gate.get["n"] or 0) - n_fetched
+    n_new = int(obs_new.get["n"] or 0)
     metrics_df = spark.createDataFrame(
         [(step, n_scheduled, n_fetched, n_disallowed, n_new)],
         "step int, scheduled long, fetched long, disallowed long, new_urls long",
     )
     store.append_metrics(metrics_df)
+    _mark("metrics write")
     # per-partition lineage: scheduled work per url_hash bucket + state
     lineage = (
         gated.withColumn(
@@ -317,17 +364,7 @@ def frontier_step(
         .withColumn("step", F.lit(step))
     )
     store.append_lineage(lineage)
-
-    # DELTA commit: per-step write cost is O(batch) rows + one bloom
-    # increment, not a full-frontier rewrite; the store compacts to a
-    # full base every compact_every steps (merge-on-read in between)
-    store.commit_step(
-        spark,
-        updates,
-        filters_increment,
-        meta={"step": step},
-        host_state=new_host_state,
-    )
+    _mark("lineage write")
     scheduled.unpersist()
     gated.unpersist()
     new_rows.unpersist()
