@@ -94,3 +94,49 @@ def test_sharded_beyond_broadcast_scale(spark):
     assert agg["n"] == 2 * n_hosts
     assert agg["n_allowed"] == n_hosts  # exactly the /ok half
     assert agg["dmin"] == 2.0 and agg["dmax"] == 2.0
+
+
+def test_sharded_crawl_matches_broadcast_crawl(spark, tmp_path):
+    """A full crawl driven by RulesTable/gate_sharded must produce the
+    IDENTICAL crawl order and metrics as the broadcast-rules crawl."""
+    from texting_robots_spark.operators.gate import RulesTable, build_rules
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import (
+        CrawlConfig,
+        crawl_order,
+        run_crawl,
+    )
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+    from texting_robots_spark.sources.synth import (
+        synth_documents_df,
+        synth_robots_df,
+        synth_universe,
+    )
+
+    documents, robots, seeds = synth_universe(
+        n_hosts=8, n_docs=150, n_seeds=12, seed=42
+    )
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.5,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 16, n_hashes=4),
+    )
+
+    store_b = FrontierStore(str(tmp_path / "bcast"), n_buckets=4)
+    m_b = run_crawl(spark, store_b, docs_df, robots_df, seeds, cfg, n_steps=2)
+    order_b = [tuple(r) for r in crawl_order(spark, store_b).collect()]
+
+    store_s = FrontierStore(str(tmp_path / "shard"), n_buckets=4)
+    sharded_rules = RulesTable(build_rules(robots_df, cfg.agent))
+    m_s = run_crawl(
+        spark, store_s, docs_df, robots_df, seeds, cfg, n_steps=2,
+        rules=sharded_rules,
+    )
+    order_s = [tuple(r) for r in crawl_order(spark, store_s).collect()]
+
+    assert m_b == m_s
+    assert order_b == order_s and len(order_b) > 5

@@ -27,6 +27,7 @@ __all__ = [
     "build_rules",
     "build_rules_per_agent",
     "RulesBroadcast",
+    "RulesTable",
     "gate",
     "gate_sharded",
 ]
@@ -88,6 +89,30 @@ class RulesBroadcast:
 
     def unpersist(self) -> None:
         self.broadcast.unpersist()
+
+
+class RulesTable:
+    """Distributed rules handle for huge rules tables (gate_sharded).
+
+    Same role as RulesBroadcast but NOTHING touches the driver: the
+    rules stay a DataFrame, the gate runs as a cogroup on (host, salt),
+    and delays join as a regular column join (the planner broadcasts it
+    while it fits and shuffles past that). This is the 10^7-10^8-host
+    mode; RulesBroadcast stays the low-latency mode for rules tables
+    that fit one broadcast.
+    """
+
+    def __init__(self, rules_df: DataFrame):
+        self.rules_df = rules_df.cache()
+
+    def delay_frame(self) -> DataFrame:
+        """(host, crawl_delay) as a DataFrame — no driver collect."""
+        return self.rules_df.select(
+            "host", F.col("delay").cast("double").alias("crawl_delay")
+        )
+
+    def unpersist(self) -> None:
+        self.rules_df.unpersist()
 
 
 def gate(

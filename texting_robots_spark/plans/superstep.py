@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.udfs import canonicalize_udf
-from ..operators.gate import RulesBroadcast, build_rules, gate
+from ..operators.gate import (
+    RulesBroadcast,
+    RulesTable,
+    build_rules,
+    gate,
+    gate_sharded,
+)
 from ..operators.links import extract_links
 from ..operators.seen import BloomConfig, build_bloom, probe_bloom
 from ..sources.frontier_store import FRONTIER_DDL, FrontierStore
@@ -129,7 +135,7 @@ def frontier_step(
     spark: SparkSession,
     store: FrontierStore,
     docs: DataFrame,
-    rules: RulesBroadcast,
+    rules,  # RulesBroadcast | RulesTable (sharded, broadcast-free)
     cfg: CrawlConfig,
 ) -> dict:
     """Run one superstep against the current snapshot; returns metrics."""
@@ -170,13 +176,21 @@ def frontier_step(
         .drop("salt", "srank")
     )
 
-    # delay joins in via tiny broadcast; allowance = how many fetches fit
-    # in this step at the host's crawl-delay (>=1: slower-than-step hosts
-    # advance next_allowed past the step instead of starving)
-    delays = rules.delay_df()
+    # delay joins in; allowance = how many fetches fit in this step at
+    # the host's crawl-delay (>=1: slower-than-step hosts advance
+    # next_allowed past the step instead of starving). RulesBroadcast:
+    # tiny driver-side delay table, explicit broadcast. RulesTable
+    # (sharded mode): delays stay a DataFrame and the planner picks the
+    # join strategy.
+    if isinstance(rules, RulesTable):
+        delays = rules.delay_frame()
+        delay_join = pruned.join(delays, "host", "left")
+    else:
+        delays = rules.delay_df()
+        delay_join = pruned.join(F.broadcast(delays), "host", "left")
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
     ranked = (
-        pruned.join(F.broadcast(delays), "host", "left")
+        delay_join
         .withColumn(
             "crawl_delay", F.coalesce("crawl_delay", F.lit(float(cfg.default_delay)))
         )
@@ -221,8 +235,19 @@ def frontier_step(
     from pyspark.sql import Observation
 
     obs_gate = Observation()
+    if isinstance(rules, RulesTable):
+        gated_raw = gate_sharded(
+            scheduled,
+            rules.rules_df,
+            with_delay=False,
+            on_parse_error=cfg.on_parse_error,
+        )
+    else:
+        gated_raw = gate(
+            scheduled, rules, with_delay=False, on_parse_error=cfg.on_parse_error
+        )
     gated = (
-        gate(scheduled, rules, with_delay=False, on_parse_error=cfg.on_parse_error)
+        gated_raw
         .observe(
             obs_gate,
             F.sum(F.col("allowed").cast("long")).alias("f"),
@@ -385,10 +410,15 @@ def run_crawl(
     seeds: List[str],
     cfg: CrawlConfig,
     n_steps: int,
-    rules: Optional[RulesBroadcast] = None,
+    rules=None,
 ) -> List[dict]:
     """Seed (when the store is empty — resume otherwise) then run
-    ``n_steps`` supersteps. Returns per-step metrics."""
+    ``n_steps`` supersteps. Returns per-step metrics.
+
+    ``rules`` may be a RulesBroadcast (default; rules fit one broadcast)
+    or a RulesTable (sharded mode for rules tables past the driver/
+    broadcast ceiling — pass RulesTable(build_rules(robots_raw, agent))).
+    """
     if rules is None:
         rules = RulesBroadcast(spark, build_rules(robots_raw, cfg.agent))
     if store.current_version() < 0:
