@@ -411,9 +411,15 @@ def _simhash_fingerprints(spark, sf_dir):
 
 
 def _lang_id(spark, sf_dir):
+    """Bigram-profile language ID through the vectorized pandas UDF
+    (operators/text.py). Oracled: every profile bigram has two distinct
+    characters, so occurrence counts are replace-based-countable and the
+    whole heuristic is expressible as closed-form SQL in DuckDB."""
     from texting_robots_spark.operators.text import add_lang_id
 
-    return add_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_guess")
+    return add_lang_id(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_guess"
+    )
 
 
 def _ann_lsh_topk(spark, sf_dir):
@@ -561,11 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _simhash_fingerprints,
         "sitemap_collection": _sitemap_collection,
         "robots_url_derivation": _robots_url_derivation,
-        # engine-specific (rows-only: matcher/stateful/pandas-UDF logic
-        # DuckDB cannot express; semantics carried by the pytest corpus)
+        "lang_id": _lang_id,
+        # engine-specific (rows-only: matcher/stateful logic DuckDB
+        # cannot express; semantics carried by the pytest corpus)
         "robots_gate_conformance": _robots_gate_conformance,
         "crawl_superstep": _crawl_superstep,
-        "lang_id": _lang_id,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "media_features": _media_features,
@@ -573,6 +579,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # language-ID oracle: the UDF's bigram scoring in closed form. Every
+    # profile bigram has two DISTINCT chars, so overlapping-occurrence
+    # counts equal replace-based counts: (len - len(replace))/2.
+    from texting_robots_spark.operators.text import _LANG_PROFILES
+
+    def _lang_score(bigrams):
+        return " + ".join(
+            f"{10 - i} * (length(lt) - length(replace(lt, '{bg}', ''))) / 2"
+            for i, bg in enumerate(bigrams)
+        )
+
+    _langs = sorted(_LANG_PROFILES)  # matches the UDF's iteration order
+    _score_cols = ",\n                   ".join(
+        f"({_lang_score(_LANG_PROFILES[lang])}) AS s_{lang}" for lang in _langs
+    )
+    _mx = "greatest(" + ", ".join(f"s_{lang}" for lang in _langs) + ")"
+    _pick = " ".join(
+        f"WHEN s_{lang} = {_mx} THEN '{lang}'" for lang in _langs[:-1]
+    )
+    _lang_id_sql = f"""
+        WITH lt AS (
+            SELECT doc_id, COALESCE(lower(text), '') AS lt FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   {_score_cols}
+            FROM lt
+        )
+        SELECT doc_id,
+               CASE WHEN {_mx} <= 0 THEN 'und'
+                    {_pick}
+                    ELSE '{_langs[-1]}' END AS lang_guess
+        FROM s
+    """
+
     # 60-bit SimHash bit-vote, generated per bit position (md5-derived
     # base hash, see operators/dedup.py:base_hash_expr)
     _simhash_terms = " | ".join(
@@ -826,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
             FROM range(24) t(i)
             WHERE i % 6 = 0 AND i % 7 <> 3
         """,
+        "lang_id": _lang_id_sql,
         "robots_url_derivation": """
             -- url AND expected robots_url derived from the same doc_id
             -- arithmetic; no URL parsing on the oracle side
