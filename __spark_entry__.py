@@ -443,16 +443,49 @@ def _ann_ivf_topk(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
-    from texting_robots_spark.operators.multimodal import (
-        extract_media_features,
-        synth_media_df,
-    )
-    from texting_robots_spark.sources.synth import synth_documents_df, synth_universe
+    """Multimodal decode plumbing over the documents table: media refs +
+    ASCII blob content derive from doc_id arithmetic (so DuckDB can
+    rebuild them), the feature extraction is the REAL mapInPandas path
+    (operators/multimodal.py: sha256-based deterministic stand-in
+    decoder), and the oracle replays the whole decode — including the
+    float32 feature normalization — via sha256/list_reduce SQL,
+    comparing a rounded feature checksum."""
+    from texting_robots_spark.operators.multimodal import extract_media_features
 
-    documents, _, _ = synth_universe(n_hosts=8, n_docs=150, seed=42)
-    media = synth_media_df(spark, synth_documents_df(spark, documents))
-    return extract_media_features(media, dim=8).select(
-        "media_ref", "media_type", "n_bytes"
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    ref = F.concat(
+        F.lit("media://"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".bin"),
+    )
+    tsel = F.conv(F.substring(F.md5(ref), 1, 8), 16, 10).cast("long") % 3
+    media = docs.select(
+        ref.alias("media_ref"),
+        # ASCII blob: the md5 hex of the ref repeated 8x (256 bytes)
+        F.encode(F.repeat(F.md5(ref), 8), "UTF-8").alias("content"),
+        F.when(tsel == 0, "image/png")
+        .when(tsel == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+    )
+    feats = extract_media_features(media, dim=8)
+    checksum = F.round(
+        F.aggregate(
+            F.transform("feature", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    return feats.select(
+        "media_ref",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        checksum.alias("feat_checksum"),
     )
 
 
@@ -611,6 +644,101 @@ def oracle_sql() -> dict[str, str]:
                     {_pick}
                     ELSE '{_langs[-1]}' END AS lang_guess
         FROM s
+    """
+
+    # hyperplane-LSH oracle: the 4 deterministic planes are embedded as
+    # literals; dots/norms use list_reduce left-folds, which reproduce
+    # Spark's F.aggregate(zip_with(...)) summation ORDER bit-for-bit (the
+    # bucket sign decisions therefore agree exactly)
+    from texting_robots_spark.operators.similarity import _plane
+
+    def _arr(vals):
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    def _fold_dot(a, b):
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+            f" (x, y) -> x + y)"
+        )
+
+    _planes_sql = ", ".join(f"{_arr(_plane(64, p))} AS p{p}" for p in range(4))
+    _bucket_terms = " + ".join(
+        f"(CASE WHEN {_fold_dot('v', f'p{p}')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    _sq_norm = (
+        "sqrt(list_reduce(list_transform({0}, x -> x * x), (a, b) -> a + b))"
+    )
+    _ann_lsh_sql = f"""
+        WITH pl AS (SELECT {_planes_sql}),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), b AS (
+            SELECT vec_id, v, {_bucket_terms} AS bucket FROM e, pl
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket AS own
+            FROM b WHERE vec_id < 10
+        ), qp AS (
+            SELECT query_id, qv,
+                   unnest([own, xor(own, 1), xor(own, 2),
+                           xor(own, 4), xor(own, 8)]) AS bucket
+            FROM q
+        ), scored AS (
+            SELECT qp.query_id, b.vec_id AS neighbor_id,
+                   round({_fold_dot('qp.qv', 'b.v')}
+                         / ({_sq_norm.format('qp.qv')} * {_sq_norm.format('b.v')}),
+                         4) AS cos_sim
+            FROM qp JOIN b ON b.bucket = qp.bucket
+                          AND b.vec_id <> qp.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
+    """
+
+    # media-features oracle: replays the sha256 stand-in decoder
+    # (multimodal.py:_fake_decode) in SQL — 8 little-endian uint32s from
+    # the digest, float64 norm, float32 feature cast, rounded checksum
+    def _u32(j):
+        return " + ".join(
+            f"CAST(CONCAT('0x', substr(dh, {2 * (4 * j + b) + 1}, 2)) AS BIGINT)"
+            f" * {1 << (8 * b)}"
+            for b in range(4)
+        )
+
+    _u32s = ", ".join(f"CAST({_u32(j)} AS DOUBLE)" for j in range(8))
+    _media_sql = f"""
+        WITH m AS (
+            SELECT CONCAT('media://', source, '/', CAST(doc_id AS VARCHAR),
+                          '.bin') AS media_ref
+            FROM documents WHERE doc_id % 3 = 0
+        ), t AS (
+            SELECT media_ref,
+                   CASE CAST(CAST(CONCAT('0x', substr(md5(media_ref), 1, 8))
+                             AS BIGINT) % 3 AS INT)
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS media_type,
+                   sha256(repeat(md5(media_ref), 8)) AS dh
+            FROM m
+        ), u AS (
+            SELECT media_ref, media_type, [{_u32s}] AS arr FROM t
+        ), n AS (
+            SELECT media_ref, media_type, arr,
+                   sqrt(list_reduce(list_transform(arr, x -> x * x),
+                                    (a, b) -> a + b)) AS nrm
+            FROM u
+        )
+        SELECT media_ref, media_type,
+               CAST(256 AS BIGINT) AS n_bytes,
+               round(list_reduce(
+                   list_transform(arr, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE)),
+                   (a, b) -> a + b), 6) AS feat_checksum
+        FROM n
     """
 
     # 60-bit SimHash bit-vote, generated per bit position (md5-derived
@@ -867,6 +995,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE i % 6 = 0 AND i % 7 <> 3
         """,
         "lang_id": _lang_id_sql,
+        "ann_lsh_topk": _ann_lsh_sql,
+        "media_features": _media_sql,
         "robots_url_derivation": """
             -- url AND expected robots_url derived from the same doc_id
             -- arithmetic; no URL parsing on the oracle side
