@@ -429,6 +429,18 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, n_planes=4)
 
 
+def _embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact verifier method —
+    the DuckDB-checkable instantiation; the bucketed LSH/IVF scale paths
+    are recall-tested against this in pytest)."""
+    from texting_robots_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.4, method="exact").select(
+        "id_a", "id_b", "cos_sim"
+    )
+
+
 def _ann_ivf_topk(spark, sf_dir):
     """IVF-Flat ANN: k-means coarse quantizer, probe top-P cells, exact
     cosine within (similarity.py:ivf_topk). Rows-only — the trained
@@ -601,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_collection": _sitemap_collection,
         "robots_url_derivation": _robots_url_derivation,
         "lang_id": _lang_id,
+        "embedding_near_dups": _embedding_near_dups,
         # engine-specific (rows-only: matcher/stateful logic DuckDB
         # cannot express; semantics carried by the pytest corpus)
         "robots_gate_conformance": _robots_gate_conformance,
@@ -997,6 +1010,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql,
         "ann_lsh_topk": _ann_lsh_sql,
         "media_features": _media_sql,
+        "embedding_near_dups": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+        """,
         "robots_url_derivation": """
             -- url AND expected robots_url derived from the same doc_id
             -- arithmetic; no URL parsing on the oracle side

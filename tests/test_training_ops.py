@@ -186,3 +186,31 @@ def test_ivf_topk_recall_beats_lsh_at_equal_budget(spark, embeddings):
     ivf_recall = len(exact_set & {(q, n) for q, n, _ in s1}) / len(exact_set)
     assert ivf_recall >= lsh_recall, f"IVF {ivf_recall} < LSH {lsh_recall}"
     assert ivf_recall >= 0.5, f"IVF recall too low: {ivf_recall}"
+
+
+def test_embedding_near_dups_bucketed_recall(spark, embeddings):
+    """Embedding-cosine near-dup dedup: the multi-table LSH and IVF
+    candidate paths must (a) emit only true pairs (subset of exact) and
+    (b) reach reasonable recall vs the exact verifier."""
+    from texting_robots_spark.operators.similarity import embedding_near_dups
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            embeddings, threshold=0.35, method="exact"
+        ).collect()
+    }
+    assert len(exact) >= 5
+    for method, kw in (
+        ("lsh", {"n_planes": 4, "n_tables": 8}),
+        ("ivf", {"n_cells": 8}),
+    ):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(
+                embeddings, threshold=0.35, method=method, **kw
+            ).collect()
+        }
+        assert got <= exact, f"{method}: false pairs {sorted(got - exact)[:3]}"
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.3, f"{method} recall {recall}"

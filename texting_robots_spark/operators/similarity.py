@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "ivf_write_index",
     "ivf_topk_indexed",
+    "embedding_near_dups",
 ]
 
 
@@ -398,4 +399,101 @@ def ivf_topk_indexed(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    n_cells: int = 16,
+    centroids=None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold — the dedup family that catches
+    semantic duplicates exact/MinHash/SimHash text sketches miss.
+
+    method:
+    - 'exact': brute-force self-join — O(n^2), the VERIFIER (use on
+      samples / as the oracle path, never at corpus scale).
+    - 'lsh': candidates = pairs sharing a hyperplane bucket, then exact
+      cosine >= threshold within. Bucket join, never a cross join; at
+      threshold t the collision probability per plane is
+      1 - arccos(t)/pi, so recall ~ (1-arccos(t)/pi)^n_planes per bucket
+      — size n_planes to the threshold (high thresholds tolerate more
+      planes).
+    - 'ivf': candidates = pairs sharing a coarse k-means cell (tighter
+      candidate sets when the corpus is clustered; pass pre-trained
+      ``centroids`` or they are trained here).
+    """
+    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if method == "exact":
+        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        # multi-table LSH (candidate union over n_tables independent
+        # plane sets): per-bucket collision prob for a pair at cosine t
+        # is p^k with p = 1 - arccos(t)/pi, so recall = 1 - (1-p^k)^L —
+        # tables buy recall multiplicatively where more planes per table
+        # would destroy it
+        def bucket_of(vec, table):
+            bits = []
+            for p_i in range(n_planes):
+                plane = _plane(dim, table * n_planes + p_i)
+                d = _dot(vec, F.array(*[F.lit(v) for v in plane]))
+                bits.append(F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+            out = bits[0]
+            for bcol in bits[1:]:
+                out = out + bcol
+            return out
+
+        keyed = e.select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            bucket_of(F.col("_v"), t).alias("b"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_tb"),
+        ).select("_id", "_v", "_tb.t", "_tb.b")
+        a = keyed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "t", "b")
+        b = keyed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "t", "b")
+        pairs = (
+            a.join(b, ["t", "b"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .distinct()
+        )
+    elif method == "ivf":
+        if centroids is None:
+            centroids = ivf_train(
+                embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+            )
+        keyed = ivf_assign(e, centroids, vec_col="_v", cell_col="_c")
+        a = keyed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_c")
+        b = keyed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_c")
+        pairs = a.join(b, "_c").where(F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        round_digits,
+    )
+    return (
+        pairs.withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos_sim")
     )
