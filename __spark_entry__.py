@@ -429,6 +429,20 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, n_planes=4)
 
 
+def _doc_fingerprints(spark, sf_dir):
+    """Order-sensitive polynomial rolling hash + md5 digest per doc
+    (operators/text.py:rolling_fingerprint, md5 base-hash variant so the
+    DuckDB oracle reproduces the fold bit-for-bit)."""
+    from texting_robots_spark.operators.text import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs, base_hash="md5").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fingerprint",
+        "md5_fingerprint",
+    )
+
+
 def _embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact verifier method —
     the DuckDB-checkable instantiation; the bucketed LSH/IVF scale paths
@@ -614,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_url_derivation": _robots_url_derivation,
         "lang_id": _lang_id,
         "embedding_near_dups": _embedding_near_dups,
+        "doc_fingerprints": _doc_fingerprints,
         # engine-specific (rows-only: matcher/stateful logic DuckDB
         # cannot express; semantics carried by the pytest corpus)
         "robots_gate_conformance": _robots_gate_conformance,
@@ -1010,6 +1025,27 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql,
         "ann_lsh_topk": _ann_lsh_sql,
         "media_features": _media_sql,
+        "doc_fingerprints": """
+            WITH toks AS (
+                SELECT doc_id, md5(text) AS md5_fingerprint,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), hs AS (
+                SELECT doc_id, md5_fingerprint,
+                       list_transform(ts, t ->
+                           CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                           % 2147483647) AS h
+                FROM toks
+            )
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), h),
+                       (a, b) -> (a * 31 + b) % 2147483647
+                   ) AS fingerprint,
+                   md5_fingerprint
+            FROM hs
+        """,
         "embedding_near_dups": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

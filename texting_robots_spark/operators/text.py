@@ -43,18 +43,28 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def rolling_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def rolling_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
     """Polynomial rolling hash over token hashes:
     fp = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod 2^31-1) with
-    h(t) = xxhash64(t) mod 2^31-1 — native aggregate(), order-sensitive
-    by construction, bounded so ANSI int64 arithmetic never overflows."""
+    h(t) = base_hash(t) mod 2^31-1 — native aggregate(), order-sensitive
+    by construction, bounded so ANSI int64 arithmetic never overflows.
+    ``base_hash='md5'`` (dedup.base_hash_expr) is the DuckDB-checkable
+    variant; xxhash64 stays the production default."""
+    from .dedup import base_hash_expr
+
     m = F.lit((1 << 31) - 1)
     toks = tokenize(F.col(text_col))
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(
-            acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m
+            acc * F.lit(31).cast("long") + F.pmod(base_hash_expr(t, base_hash), m),
+            m,
         ),
     )
     return docs.select(
