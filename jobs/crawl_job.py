@@ -37,6 +37,14 @@ def main() -> None:
     ap.add_argument("--step-seconds", type=float, default=600.0)
     ap.add_argument("--bloom-partitions", type=int, default=32)
     ap.add_argument("--bloom-bits", type=int, default=1 << 22)
+    ap.add_argument(
+        "--gate-mode",
+        choices=("broadcast", "sharded"),
+        default="broadcast",
+        help="broadcast: rules collected+broadcast (fits driver memory); "
+        "sharded: cogrouped gate, rules stay a DataFrame — use for "
+        "10^7+ host rules tables",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,9 +81,15 @@ def main() -> None:
         ),
     )
     store = FrontierStore(args.store, n_buckets=args.bloom_partitions)
+    rules = None
+    if args.gate_mode == "sharded":
+        from texting_robots_spark.operators.gate import RulesTable, build_rules
+
+        rules = RulesTable(build_rules(robots_df, cfg.agent))
     t0 = time.time()
     metrics = run_crawl(
-        spark, store, docs_df, robots_df, seeds, cfg, n_steps=args.steps
+        spark, store, docs_df, robots_df, seeds, cfg, n_steps=args.steps,
+        rules=rules,
     )
     dt = time.time() - t0
     n = sum(m["scheduled"] + m["new_urls"] for m in metrics)
