@@ -152,7 +152,9 @@ def report(r8: dict, r32: dict) -> None:
     gate_eff = r32["gate_checks_per_sec"] / (4 * r8["gate_checks_per_sec"])
     crawl_eff = r32["crawl_urls_per_sec"] / (4 * r8["crawl_urls_per_sec"])
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    # write to LOCAL.md: BASELINE.md is the curated document (cluster
+    # evidence + analysis) and must not be clobbered by this harness
+    with open(os.path.join(ROOT, "BENCH", "LOCAL.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
 
