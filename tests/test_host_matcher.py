@@ -69,3 +69,51 @@ def test_allowed_batch_equals_allowed_on_corpus():
         got = matcher.allowed_batch(paths)
         want = np.array([matcher.allowed(p) for p in paths])
         assert (got == want).all(), case.case_id
+
+
+# --- hypothesis differential: guard dispatch vs per-rule scan -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from texting_robots_spark.robots_core import RulePattern
+
+_PAT_ALPHA = "/ab*$%2Ee.-?&"
+_PATH_ALPHA = "/abXe%2E.?&$*"
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=_PAT_ALPHA, max_size=8),
+            st.booleans(),
+        ),
+        max_size=12,
+    ),
+    st.lists(st.text(alphabet=_PATH_ALPHA, min_size=1, max_size=10), max_size=8),
+)
+def test_guard_dispatch_equals_rule_scan(rules, paths):
+    """For ANY rule list (precedence-sorted like compile_robots) and ANY
+    path, the guard-dispatched HostMatcher must agree with the direct
+    first-match RulePattern scan (the reference semantics)."""
+    rules = sorted(set(rules), key=lambda r: (-len(r[0]), not r[1]))
+    try:
+        compiled = [(RulePattern(p), a) for p, a in rules]
+    except Exception:
+        return  # over-budget patterns are rejected at compile time
+    matcher = HostMatcher(rules)
+
+    def ref(path):
+        if path == "/robots.txt":
+            return True
+        for rp, a in compiled:
+            if rp.is_match(path):
+                return a
+        return True
+
+    for path in paths:
+        assert matcher.allowed(path) == ref(path), (rules, path)
+    if paths:
+        got = list(matcher.allowed_batch(paths))
+        assert got == [ref(p) for p in paths]
