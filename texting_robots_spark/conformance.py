@@ -1262,6 +1262,26 @@ def build_corpus() -> List[Case]:
         )
     )
 
+    # --- engine regression: leading-'*' matched text -------------------
+    # minregex.rs:97 — when the TEXT starts with '*', the first segment
+    # of a starred pattern is NOT start-anchored. Reachable via relative
+    # URL input (prepare passes it through). No upstream corpus case
+    # covers it (found in round-1 advice), so this is ours.
+    add(
+        Case(
+            "engine/leading_star_path",
+            "fuzz",
+            b"User-agent: *\nDisallow: /a*b\n",
+            "BobBot",
+            [
+                ("*zz/aXXb", False),  # unanchored first segment matches
+                ("*b", True),  # '/a' occurs nowhere -> allowed
+                ("/aXb", False),  # canonical path: anchored match
+                ("/zz/aXb", True),  # anchored: '/a' not at start
+            ],
+        )
+    )
+
     return cases
 
 
