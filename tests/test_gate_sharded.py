@@ -140,3 +140,23 @@ def test_sharded_crawl_matches_broadcast_crawl(spark, tmp_path):
 
     assert m_b == m_s
     assert order_b == order_s and len(order_b) > 5
+
+
+def test_sharded_rejects_internal_salt_collision(spark):
+    """A user column named like the internal salt must raise, not be
+    silently overwritten (ADVICE r2)."""
+    from texting_robots_spark.operators.gate import _SALT_COL, build_rules
+
+    rules_df = build_rules(
+        spark.createDataFrame(
+            [("h.example", bytearray(b"User-agent: *\nDisallow: /x"))],
+            "host string, body binary",
+        ),
+        "TRSBot",
+    )
+    cand = spark.createDataFrame(
+        [("h.example", "https://h.example/ok", 7)],
+        f"host string, url string, {_SALT_COL} int",
+    )
+    with pytest.raises(ValueError, match="_trs_salt"):
+        gate_sharded(cand, rules_df)

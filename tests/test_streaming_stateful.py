@@ -182,3 +182,52 @@ def test_stream_seen_filter_dedups_across_batches(spark, tmp_path):
     by_id = {r["url_hash"]: r for r in got}
     assert all(by_id[i]["step"] == 0 for i in range(60))
     assert all(by_id[i]["step"] == 1 for i in range(60, 90))
+
+
+def test_stream_schedule_emit_blocked(spark, tmp_path):
+    """Blocked-step rows are dropped by default (replay semantics) but
+    emitted with fetch_time NULL under emit_blocked=True, so a live
+    deployment can requeue them (ADVICE r2)."""
+    # delay 12 > step_seconds 10: step 0 schedules one row and advances
+    # next_allowed to 12, blocking the host for step 1 entirely
+    rows = [
+        ("h.example", "https://h.example/0", 0, 1.0, 0, 12.0, True, 0),
+        ("h.example", "https://h.example/1", 1, 0.5, 0, 12.0, True, 0),
+        ("h.example", "https://h.example/2", 2, 1.0, 0, 12.0, True, 1),
+        ("h.example", "https://h.example/3", 3, 0.5, 0, 12.0, True, 1),
+    ]
+    src = tmp_path / "blk_src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, SCHED_INPUT_DDL)
+    stage = tmp_path / "blk_stage"
+    df.coalesce(1).write.parquet(str(stage))
+    part = glob.glob(str(stage / "part-*.parquet"))[0]
+    shutil.copy(part, str(src / "b0.parquet"))
+
+    def run(emit_blocked, tag):
+        out_dir = str(tmp_path / f"blk_out_{tag}")
+        q = (
+            stream_politeness_schedule(
+                spark.readStream.schema(SCHED_INPUT_DDL).parquet(str(src)),
+                per_host_k=3,
+                step_seconds=10.0,
+                emit_blocked=emit_blocked,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"blk_ckpt_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).collect()
+
+    got = run(True, "on")
+    sched = {r["url_hash"]: r["fetch_time"] for r in got if r["fetch_time"] is not None}
+    blocked = {r["url_hash"] for r in got if r["fetch_time"] is None}
+    assert sched == {0: 0.0}  # priority 1.0 wins; allowance floor(10/12)->1
+    assert blocked == {2, 3}
+
+    got_default = run(False, "off")
+    assert {r["url_hash"] for r in got_default} == {0}

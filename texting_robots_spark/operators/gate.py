@@ -32,6 +32,10 @@ __all__ = [
     "gate_sharded",
 ]
 
+# collision-safe internal salt column for gate_sharded (a user column
+# named like this is rejected rather than silently overwritten)
+_SALT_COL = "__trs_salt"
+
 
 def build_rules(robots_raw: DataFrame, agent: str) -> DataFrame:
     """robots_raw(host, body binary) -> rules table for ``agent``.
@@ -175,6 +179,11 @@ def gate_sharded(
     from ..urltools import prepare_urls_batch
 
     error_allows = on_parse_error == "allow"
+    if _SALT_COL in candidates.columns:
+        raise ValueError(
+            f"gate_sharded: candidates already carry the internal column "
+            f"{_SALT_COL!r} — rename it before gating"
+        )
     cand_fields = [
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     ]
@@ -186,7 +195,7 @@ def gate_sharded(
     def _gate(key, cand: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        cand = cand.drop(columns=["_salt"])
+        cand = cand.drop(columns=[_SALT_COL])
         n = len(cand)
         if n == 0:
             out = cand.assign(allowed=pd.Series([], dtype=bool))
@@ -231,17 +240,17 @@ def gate_sharded(
         return out
 
     salted = candidates.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)).cast("int")
+        _SALT_COL, F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)).cast("int")
     )
     rules_salted = rules_df.select(
         host_col if host_col in rules_df.columns else F.col("host").alias(host_col),
         "rules",
         "delay",
         "parse_error",
-    ).withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
+    ).withColumn(_SALT_COL, F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
     return (
-        salted.groupBy(host_col, "_salt")
-        .cogroup(rules_salted.groupBy(host_col, "_salt"))
+        salted.groupBy(host_col, _SALT_COL)
+        .cogroup(rules_salted.groupBy(host_col, _SALT_COL))
         .applyInPandas(_gate, out_schema)
         .select(*cand_cols, *(["allowed", "crawl_delay"] if with_delay else ["allowed"]))
     )

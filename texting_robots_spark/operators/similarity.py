@@ -375,7 +375,11 @@ def ivf_topk_indexed(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(_probe_udf(centroids, n_probes)(F.col(vec_col))).alias("cell"),
-    ).cache()
+    )
+    # collect the probed cells from an UNcached plan: the probe UDF runs
+    # once more for the join below, but the query side is small by
+    # contract, and a cache here would leak blocks across repeated
+    # serving calls in a long-lived session
     cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
     c = (
         spark.read.parquet(index_path)

@@ -48,25 +48,32 @@ def compact_frontier(
     frontier = store.read_frontier(spark)
     queued = frontier.where(F.col("state") == "queued")
     done = frontier.where(F.col("state") != "queued")
-    done.write.mode("append").parquet(_archive_dir(store))
-    filters = build_cuckoo(frontier.select("url_hash"), cfg)
-    n_q, n_a = queued.count(), done.count()
-    store.write_snapshot(queued, filters=None, meta={**store.meta(), "compacted": True})
-    # cuckoo filters live beside the snapshot's bloom slot
-    filters.write.mode("overwrite").parquet(
-        os.path.join(store.root, "cuckoo_filters")
-    )
-    # a dropped key would be a silent false negative on every later probe
-    # (a seen URL re-entering the frontier) — fail loudly so the caller
-    # resizes n_buckets / n_partitions instead.
-    n_dropped = (
-        _read_cuckoo(spark, store).agg(F.sum("n_dropped")).collect()[0][0] or 0
-    )
-    if n_dropped:
-        raise ValueError(
-            f"cuckoo filter over capacity: {n_dropped} keys dropped — "
-            f"increase CuckooConfig.n_buckets or n_partitions"
+    # Build + CHECK the filters BEFORE any destructive write: a dropped
+    # key would be a silent false negative on every later probe (a seen
+    # URL re-entering the frontier), and a retry after a partial compact
+    # would rebuild filters from the already-compacted (queued-only)
+    # frontier, permanently losing the archived keys' seen-ness. Failing
+    # here leaves the old snapshot, archive, and filters intact so the
+    # caller can resize CuckooConfig and simply call again.
+    filters = build_cuckoo(frontier.select("url_hash"), cfg).cache()
+    try:
+        n_dropped = filters.agg(F.sum("n_dropped")).collect()[0][0] or 0
+        if n_dropped:
+            raise ValueError(
+                f"cuckoo filter over capacity: {n_dropped} keys dropped — "
+                f"increase CuckooConfig.n_buckets or n_partitions"
+            )
+        done.write.mode("append").parquet(_archive_dir(store))
+        n_q, n_a = queued.count(), done.count()
+        store.write_snapshot(
+            queued, filters=None, meta={**store.meta(), "compacted": True}
         )
+        # cuckoo filters live beside the snapshot's bloom slot
+        filters.write.mode("overwrite").parquet(
+            os.path.join(store.root, "cuckoo_filters")
+        )
+    finally:
+        filters.unpersist()
     return {"queued": n_q, "archived": n_a, "dropped": int(n_dropped)}
 
 
@@ -126,12 +133,26 @@ def schedule_recrawl(
         )
     )
     filters = _read_cuckoo(spark, store)
-    # probe-before-delete: only hashes actually present in the filter are
-    # deleted. Deleting a never-inserted hash can evict another URL's
-    # entry on a fingerprint collision (violating delete_cuckoo's
-    # contract), so arbitrary user URLs must be screened first.
+    # Screen before deleting. Deleting a never-inserted hash can evict
+    # another URL's entry on a fingerprint collision (violating
+    # delete_cuckoo's contract), so arbitrary user URLs are narrowed two
+    # ways: (1) a semi-join against the set of hashes KNOWN to have been
+    # inserted (frontier + archive — the filter was built from exactly
+    # these), and (2) a probe, which skips hashes already deleted by an
+    # earlier recrawl. The probe alone would not suffice — its false
+    # positives (fingerprint collisions) still pass — but combined with
+    # the known-inserted join only genuinely-inserted keys reach
+    # delete_cuckoo; the residual risk is a same-fingerprint collision
+    # BETWEEN two inserted keys, which delete handles by removing one
+    # copy per insert.
+    known = store.read_frontier(spark).select("url_hash")
+    if os.path.exists(_archive_dir(store)):
+        known = known.unionByName(
+            spark.read.parquet(_archive_dir(store)).select("url_hash")
+        )
+    inserted = rows.select("url_hash").join(known.distinct(), "url_hash", "left_semi")
     present = (
-        probe_cuckoo(rows.select("url_hash"), filters, cfg)
+        probe_cuckoo(inserted, filters, cfg)
         .where(F.col("maybe_seen"))
         .select("url_hash")
     )

@@ -53,6 +53,7 @@ def stream_politeness_schedule(
     candidates: DataFrame,
     per_host_k: int,
     step_seconds: float,
+    emit_blocked: bool = False,
 ) -> DataFrame:
     """Schedule a streaming candidate feed under per-host politeness state.
 
@@ -61,6 +62,17 @@ def stream_politeness_schedule(
     State per host is ONE double (the politeness clock) — bounded by the
     active-host count, not the frontier size, which is what makes this
     viable at 10^8 hosts (8 bytes/host of state).
+
+    SCHED drop semantics: when a host's ``next_allowed`` clock exceeds a
+    step's t0, that step's candidates for the host are NOT scheduled. In
+    the batch superstep those rows simply stay queued in the frontier and
+    retry next step; this operator has no frontier behind it, so by
+    default blocked-step rows are DROPPED from the output — correct for
+    the replay/equivalence use (eligibility is pre-filtered upstream),
+    lossy for a live deployment. Pass ``emit_blocked=True`` to emit
+    blocked rows too, marked with ``fetch_time = NULL`` (same schema), so
+    a real streaming pipeline can route them to a requeue sink with
+    ``WHERE fetch_time IS NULL``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -68,12 +80,23 @@ def stream_politeness_schedule(
         rows = pd.concat(list(pdfs), ignore_index=True)
         next_allowed = state.get[0] if state.exists else float("-inf")
         outs = []
+        out_cols = [
+            "host", "url", "url_hash", "priority", "depth", "fetch_time", "step",
+        ]
         # a micro-batch normally carries one step; sorted-step iteration
         # also keeps semantics right if the source coalesces several
         for step in sorted(rows["step"].unique()):
             t0 = float(step) * step_seconds
             if next_allowed is not None and next_allowed > t0:
-                continue  # host blocked this step (batch §1 eligibility)
+                # host blocked this step (batch §1 eligibility); see
+                # SCHED drop semantics in the docstring
+                if emit_blocked:
+                    blocked = rows[rows["step"] == step]
+                    if len(blocked):
+                        outs.append(
+                            blocked.assign(fetch_time=float("nan"))[out_cols]
+                        )
+                continue
             sub = rows[rows["step"] == step]
             if len(sub) == 0:
                 continue
@@ -90,19 +113,7 @@ def stream_politeness_schedule(
             next_allowed = t0 + len(take) * delay
             emitted = take[take["allowed"].astype(bool)]
             if len(emitted):
-                outs.append(
-                    emitted[
-                        [
-                            "host",
-                            "url",
-                            "url_hash",
-                            "priority",
-                            "depth",
-                            "fetch_time",
-                            "step",
-                        ]
-                    ]
-                )
+                outs.append(emitted[out_cols])
         state.update((float(next_allowed),))
         if outs:
             yield pd.concat(outs, ignore_index=True)
