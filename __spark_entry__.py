@@ -325,8 +325,15 @@ def _similarity_topk(spark, sf_dir):
 
 
 def _robots_gate_conformance(spark, sf_dir):
-    """Full ported corpus through the Spark gate; rows-only here because
-    DuckDB cannot express the matcher — exactness is asserted in pytest."""
+    """Full ported corpus through the Spark gate.
+
+    Hash-oracled: DuckDB cannot express the matcher itself, but the
+    corpus (texting_robots_spark/conformance.py — the reference's own
+    test expectations, ported as data) carries the EXPECTED verdict per
+    (case, url), so the oracle emits those expectations as literal rows
+    with ``allowed = expected``. The driver's value-hash compare then
+    proves gate-vs-reference parity on all 307 assertions every round —
+    any matcher divergence breaks the hash."""
     from texting_robots_spark.conformance import CORPUS
     from texting_robots_spark.operators.gate import (
         RulesBroadcast,
@@ -769,6 +776,27 @@ def oracle_sql() -> dict[str, str]:
         FROM n
     """
 
+    # robots-gate conformance oracle: the corpus's expected verdicts as
+    # literal rows (same source the Spark query gates through; the gate's
+    # computed `allowed` must equal `expected` row-for-row to hash-match)
+    from texting_robots_spark.conformance import CORPUS
+
+    def _esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    _gate_rows = ",\n            ".join(
+        f"('{_esc(c.case_id)}', '{_esc(u)}', {'TRUE' if e else 'FALSE'},"
+        f" {'TRUE' if e else 'FALSE'})"
+        for c in CORPUS
+        if c.allowed and not c.parse_error
+        for u, e in c.allowed
+    )
+    _gate_sql = f"""
+        SELECT * FROM (VALUES
+            {_gate_rows}
+        ) AS t(host, url, expected, allowed)
+    """
+
     # 60-bit SimHash bit-vote, generated per bit position (md5-derived
     # base hash, see operators/dedup.py:base_hash_expr)
     _simhash_terms = " | ".join(
@@ -1023,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i % 6 = 0 AND i % 7 <> 3
         """,
         "lang_id": _lang_id_sql,
+        "robots_gate_conformance": _gate_sql,
         "ann_lsh_topk": _ann_lsh_sql,
         "media_features": _media_sql,
         "doc_fingerprints": """
