@@ -565,6 +565,64 @@ def _robots_url_derivation(spark, sf_dir):
     )
 
 
+def _schedule_step(spark, sf_dir):
+    """One superstep's SCHEDULING stage (plans/superstep.py:
+    schedule_batch — the exact code path frontier_step runs) over a
+    frozen, arithmetic-derived frontier snapshot: politeness/depth
+    eligibility, salted per-host top-k window, crawl-delay allowance,
+    fetch_time arithmetic. The url_hash tie-breaker uses the md5-derived
+    base hash (operators/dedup.py:base_hash_expr) so DuckDB reproduces
+    the window order bit-for-bit; production uses xxhash64, same plan."""
+    from texting_robots_spark.operators.dedup import base_hash_expr
+    from texting_robots_spark.plans.superstep import CrawlConfig, schedule_batch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.concat(
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit(".example"),
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string"))
+    frontier = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url.alias("url"),
+        host.alias("host"),
+        (((F.col("doc_id") * 37) % 100) / F.lit(100.0)).alias("priority"),
+        (F.col("doc_id") % 5).cast("int").alias("depth"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(999.0))
+        .otherwise(F.lit(0.0))
+        .alias("not_before"),
+        (F.col("doc_id") % 25).alias("hidx"),
+    ).withColumn("url_hash", base_hash_expr(F.col("url"), "md5"))
+    cfg = CrawlConfig(per_host_k=4, step_seconds=10.0, default_delay=0.25, max_depth=3)
+    t0 = 10.0  # step 1's clock
+    eligible = frontier.where(
+        (F.col("not_before") <= F.lit(t0)) & (F.col("depth") <= F.lit(cfg.max_depth))
+    )
+    # delays for 4 of 5 host groups (0.5/4.5/8.5/12.5s — allowances 4/2/1/1);
+    # the fifth group has no delay row and coalesces to the 0.25s default
+    delays = (
+        frontier.select("host", "hidx")
+        .distinct()
+        .where(F.col("hidx") % 5 != 4)
+        .select(
+            "host", (F.lit(0.5) + (F.col("hidx") % 4) * F.lit(4.0)).alias("crawl_delay")
+        )
+    )
+    scheduled = schedule_batch(eligible.drop("hidx"), delays, cfg, t0)
+    return scheduled.select(
+        "url",
+        "host",
+        F.round("priority", 6).alias("priority"),
+        F.col("depth").cast("long").alias("depth"),
+        "crawl_delay",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("allowance").cast("long").alias("allowance"),
+        F.round("fetch_time", 6).alias("fetch_time"),
+    )
+
+
 def _rank_orders_window(spark, sf_dir):
     """rank/dense_rank/row_number with deterministic tie-break — the
     frontier's per-host priority ordering shape."""
@@ -640,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cannot express; semantics carried by the pytest corpus)
         "robots_gate_conformance": _robots_gate_conformance,
         "crawl_superstep": _crawl_superstep,
+        "schedule_step": _schedule_step,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "media_features": _media_features,
@@ -1052,6 +1111,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql,
         "robots_gate_conformance": _gate_sql,
+        "schedule_step": """
+            -- the superstep scheduling stage replayed as one window query:
+            -- same frontier arithmetic, md5-derived url_hash tie-break,
+            -- allowance = min(k, max(1, floor(step/delay))), fetch_time =
+            -- t0 + (rank-1)*delay  (plans/superstep.py:schedule_batch)
+            WITH f AS (
+                SELECT doc_id,
+                       'https://' || source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example' AS host,
+                       CAST(doc_id * 37 % 100 AS DOUBLE) / 100.0 AS priority,
+                       doc_id % 5 AS depth,
+                       CASE WHEN doc_id % 11 = 0 THEN 999.0 ELSE 0.0 END
+                           AS not_before,
+                       doc_id % 25 AS hidx
+                FROM documents
+            ), h AS (
+                SELECT *, CAST(CONCAT('0x', substr(md5(url), 1, 15)) AS BIGINT)
+                          AS url_hash
+                FROM f
+            ), elig AS (
+                SELECT * FROM h WHERE not_before <= 10.0 AND depth <= 3
+            ), d AS (
+                SELECT DISTINCT host,
+                       0.5 + CAST(hidx % 4 AS DOUBLE) * 4.0 AS crawl_delay
+                FROM f WHERE hidx % 5 <> 4
+            ), r AS (
+                SELECT e.url, e.host, e.priority, e.depth,
+                       COALESCE(d.crawl_delay, 0.25) AS crawl_delay,
+                       row_number() OVER (
+                           PARTITION BY e.host
+                           ORDER BY e.priority DESC, e.url_hash ASC
+                       ) AS rank
+                FROM elig e LEFT JOIN d ON d.host = e.host
+            ), a AS (
+                SELECT *,
+                       LEAST(4, GREATEST(1, CAST(floor(
+                           10.0 / greatest(crawl_delay, 1e-9)) AS INT)))
+                           AS allowance
+                FROM r
+            )
+            SELECT url, host,
+                   round(priority, 6) AS priority,
+                   CAST(depth AS BIGINT) AS depth,
+                   crawl_delay,
+                   CAST(rank AS BIGINT) AS rank,
+                   CAST(allowance AS BIGINT) AS allowance,
+                   round(10.0 + (rank - 1) * crawl_delay, 6) AS fetch_time
+            FROM a WHERE rank <= allowance
+        """,
         "ann_lsh_topk": _ann_lsh_sql,
         "media_features": _media_sql,
         "doc_fingerprints": """

@@ -50,7 +50,13 @@ from ..operators.links import extract_links
 from ..operators.seen import BloomConfig, build_bloom, probe_bloom
 from ..sources.frontier_store import FRONTIER_DDL, FrontierStore
 
-__all__ = ["CrawlConfig", "seed_frontier", "frontier_step", "run_crawl"]
+__all__ = [
+    "CrawlConfig",
+    "seed_frontier",
+    "schedule_batch",
+    "frontier_step",
+    "run_crawl",
+]
 
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 
@@ -131,6 +137,86 @@ def init_crawl(
     return store.write_snapshot(frontier, filters, meta={"step": -1})
 
 
+def schedule_batch(
+    eligible: DataFrame,
+    delays: Optional[DataFrame],
+    cfg: CrawlConfig,
+    t0: float,
+    broadcast_delays: bool = True,
+) -> DataFrame:
+    """The scheduling stage of one superstep, over an already
+    eligibility-filtered frontier slice: salted per-host top-k, crawl-
+    delay allowance, and the politeness fetch_time arithmetic. Factored
+    out of ``frontier_step`` so the driver's DuckDB oracle can pin this
+    window logic over a frozen snapshot (the ``schedule_step`` query).
+
+    ``eligible`` must carry (url_hash, host, priority); all other
+    columns pass through. ``delays`` is (host, crawl_delay) — pass
+    ``broadcast_delays=False`` when it may exceed broadcast size (the
+    sharded-rules mode) so the planner picks the join strategy.
+
+    Output adds crawl_delay (default-coalesced), rank, allowance, and
+    fetch_time = t0 + (rank-1)*crawl_delay, keeping only rows with
+    rank <= allowance.
+    """
+    # Skew guard: a hot host may have millions of queued rows; ranking
+    # them all in one window partition is the frontier's skew point
+    # (SURVEY §4.3). Two-level top-k: first rank within (host, salt)
+    # sub-partitions and keep per_host_k from each — the true per-host
+    # top-k survives (every global top-k row is in its salt-group's
+    # top-k) — then rank the <= SALT*k survivors exactly.
+    SALT = 16
+    w_salt = Window.partitionBy("host", "salt").orderBy(
+        F.desc("priority"), F.asc("url_hash")
+    )
+    pruned = (
+        eligible.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(SALT)))
+        .withColumn("srank", F.row_number().over(w_salt))
+        .where(F.col("srank") <= cfg.per_host_k)
+        .drop("salt", "srank")
+    )
+
+    # delay joins in; allowance = how many fetches fit in this step at
+    # the host's crawl-delay (>=1: slower-than-step hosts advance
+    # next_allowed past the step instead of starving). RulesBroadcast:
+    # tiny driver-side delay table, explicit broadcast. RulesTable
+    # (sharded mode): delays stay a DataFrame and the planner picks the
+    # join strategy.
+    if delays is None:
+        delay_join = pruned.withColumn("crawl_delay", F.lit(None).cast("double"))
+    elif broadcast_delays:
+        delay_join = pruned.join(F.broadcast(delays), "host", "left")
+    else:
+        delay_join = pruned.join(delays, "host", "left")
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    ranked = (
+        delay_join
+        .withColumn(
+            "crawl_delay", F.coalesce("crawl_delay", F.lit(float(cfg.default_delay)))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "allowance",
+            F.least(
+                F.lit(cfg.per_host_k),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(cfg.step_seconds) / F.greatest("crawl_delay", F.lit(1e-9))),
+                ).cast("int"),
+            ),
+        )
+        .where(F.col("rank") <= F.col("allowance"))
+        .withColumn("fetch_time", F.lit(t0) + (F.col("rank") - 1) * F.col("crawl_delay"))
+    )
+    # optional global batch cap: deterministic total order; per-host
+    # top-k already bounded the row count so this sort is small
+    if cfg.batch_size is not None:
+        return ranked.orderBy(F.desc("priority"), F.asc("url_hash")).limit(
+            cfg.batch_size
+        )
+    return ranked
+
+
 def frontier_step(
     spark: SparkSession,
     store: FrontierStore,
@@ -159,63 +245,13 @@ def frontier_step(
         eligible = eligible.join(F.broadcast(blocked), "host", "left_anti")
 
     # --- 2. per-host top-k + politeness schedule --------------------------
-    # Skew guard: a hot host may have millions of queued rows; ranking
-    # them all in one window partition is the frontier's skew point
-    # (SURVEY §4.3). Two-level top-k: first rank within (host, salt)
-    # sub-partitions and keep per_host_k from each — the true per-host
-    # top-k survives (every global top-k row is in its salt-group's
-    # top-k) — then rank the <= SALT*k survivors exactly.
-    SALT = 16
-    w_salt = Window.partitionBy("host", "salt").orderBy(
-        F.desc("priority"), F.asc("url_hash")
-    )
-    pruned = (
-        eligible.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(SALT)))
-        .withColumn("srank", F.row_number().over(w_salt))
-        .where(F.col("srank") <= cfg.per_host_k)
-        .drop("salt", "srank")
-    )
-
-    # delay joins in; allowance = how many fetches fit in this step at
-    # the host's crawl-delay (>=1: slower-than-step hosts advance
-    # next_allowed past the step instead of starving). RulesBroadcast:
-    # tiny driver-side delay table, explicit broadcast. RulesTable
-    # (sharded mode): delays stay a DataFrame and the planner picks the
-    # join strategy.
     if isinstance(rules, RulesTable):
-        delays = rules.delay_frame()
-        delay_join = pruned.join(delays, "host", "left")
+        delays, bcast = rules.delay_frame(), False
     else:
-        delays = rules.delay_df()
-        delay_join = pruned.join(F.broadcast(delays), "host", "left")
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
-    ranked = (
-        delay_join
-        .withColumn(
-            "crawl_delay", F.coalesce("crawl_delay", F.lit(float(cfg.default_delay)))
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .withColumn(
-            "allowance",
-            F.least(
-                F.lit(cfg.per_host_k),
-                F.greatest(
-                    F.lit(1),
-                    F.floor(F.lit(cfg.step_seconds) / F.greatest("crawl_delay", F.lit(1e-9))),
-                ).cast("int"),
-            ),
-        )
-        .where(F.col("rank") <= F.col("allowance"))
-        .withColumn("fetch_time", F.lit(t0) + (F.col("rank") - 1) * F.col("crawl_delay"))
+        delays, bcast = rules.delay_df(), True
+    scheduled = schedule_batch(
+        eligible, delays, cfg, t0, broadcast_delays=bcast
     )
-    # optional global batch cap: deterministic total order; per-host
-    # top-k already bounded the row count so this sort is small
-    if cfg.batch_size is not None:
-        scheduled = ranked.orderBy(
-            F.desc("priority"), F.asc("url_hash")
-        ).limit(cfg.batch_size)
-    else:
-        scheduled = ranked
     scheduled.cache()
     n_scheduled = scheduled.count()
     _mark("schedule+count")
