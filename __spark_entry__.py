@@ -463,15 +463,22 @@ def _embedding_near_dups(spark, sf_dir):
 
 
 def _ann_ivf_topk(spark, sf_dir):
-    """IVF-Flat ANN: k-means coarse quantizer, probe top-P cells, exact
-    cosine within (similarity.py:ivf_topk). Rows-only — the trained
-    centroids are not SQL-expressible; recall vs the exact cosine_topk
-    oracle is asserted in pytest."""
-    from texting_robots_spark.operators.similarity import ivf_topk
+    """IVF-Flat ANN serving path: probe the 4 nearest of 16 k-means
+    cells, exact cosine within (similarity.py:ivf_topk).
 
+    Hash-oracled: training is iterative (not SQL), so the deterministic
+    reference trainer (ivf_train_local — same _cell_distances kernel as
+    the Spark UDFs) produces the centroids HERE, and oracle_sql() embeds
+    the identical centroids as literals, replaying assignment (argmin),
+    probing (top-4 cells), and the ranked cosine search in DuckDB. The
+    distributed ivf_train stays the scale trainer; its recall is pinned
+    in pytest against exact cosine_topk."""
+    from texting_robots_spark.operators.similarity import ivf_topk, ivf_train_local
+
+    C = ivf_train_local(f"{sf_dir}/embeddings.parquet", n_cells=16)
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, n_probes=4
+        emb, emb.where(F.col("vec_id") < 10), centroids=C, k=5, n_probes=4
     )
 
 
@@ -787,6 +794,65 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, cos_sim,
                CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
+    """
+
+    # IVF-serving oracle: centroids from the deterministic local trainer
+    # (the SAME matrix the Spark query passes to ivf_topk) embedded as
+    # literals; assignment = argmin over csq_j - 2 v.c_j with ties to the
+    # smallest cell (numpy argmin picks the first minimum), probes = the
+    # 4 nearest cells (argsort-stable ties likewise), then the exact
+    # ranked cosine within probed cells. The parquet path is the driver's
+    # sf0.01 contract; SPARK_GRAFT_ORACLE_SF overrides for local checks.
+    _ivf_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    from texting_robots_spark.operators.similarity import ivf_train_local
+
+    _C = ivf_train_local(os.path.join(_ivf_sf, "embeddings.parquet"), n_cells=16)
+    _csq = (_C * _C).sum(axis=1)
+    _cent_rows = ",\n                ".join(
+        f"({j}, {_arr([float(x) for x in _C[j]])}, {float(_csq[j])!r})"
+        for j in range(len(_C))
+    )
+    _ann_ivf_sql = f"""
+        WITH cent AS (
+            SELECT * FROM (VALUES
+                {_cent_rows}
+            ) AS t(cell, cv, csq)
+        ), e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), dist AS (
+            SELECT e.vec_id, cent.cell,
+                   cent.csq - 2 * {_fold_dot('e.v', 'cent.cv')} AS d
+            FROM e, cent
+        ), rankedcells AS (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, cell ASC
+            ) AS rn FROM dist
+        ), assign AS (
+            SELECT vec_id, cell FROM rankedcells WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cell
+            FROM rankedcells WHERE vec_id < 10 AND rn <= 4
+        ), c AS (
+            SELECT a.cell, e.vec_id AS neighbor_id, e.v
+            FROM e JOIN assign a USING (vec_id)
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+        ), scored AS (
+            SELECT p.query_id, c.neighbor_id,
+                   round({_fold_dot('q.qv', 'c.v')}
+                         / ({_sq_norm.format('q.qv')} * {_sq_norm.format('c.v')}),
+                         4) AS cos_sim
+            FROM probes p
+            JOIN c ON c.cell = p.cell
+            JOIN q ON q.query_id = p.query_id
+            WHERE c.neighbor_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
@@ -1163,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a WHERE rank <= allowance
         """,
         "ann_lsh_topk": _ann_lsh_sql,
+        "ann_ivf_topk": _ann_ivf_sql,
         "media_features": _media_sql,
         "doc_fingerprints": """
             WITH toks AS (

@@ -32,6 +32,7 @@ __all__ = [
     "cosine_topk",
     "lsh_topk",
     "ivf_train",
+    "ivf_train_local",
     "ivf_assign",
     "ivf_topk",
     "ivf_write_index",
@@ -192,14 +193,21 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _cell_distances(V, C, c_sq):
+    """Shared assignment kernel: squared-L2 distance surrogate
+    ``||c||^2 - 2 v.c`` (||v||^2 is constant per row, so argmin is
+    unchanged). The Spark UDFs, the local reference trainer, and the
+    DuckDB oracle's literal replay all derive from THIS arithmetic —
+    keep them in lockstep."""
+    return c_sq - 2.0 * (V @ C.T)  # (batch, n_cells)
+
+
 def _assign_udf(centroids):
     """Pandas UDF: vector -> nearest centroid id (squared-L2 argmin).
 
-    One numpy matmul per Arrow batch — ||v-c||^2 = ||v||^2 - 2 v.c +
-    ||c||^2 and ||v||^2 is constant per row, so argmin over
-    (-2 v.C^T + ||C||^2) suffices. Centroids ride the closure (they are
-    n_cells x dim doubles — small), so no join and no shuffle on the
-    corpus side.
+    One numpy matmul per Arrow batch (see _cell_distances). Centroids
+    ride the closure (they are n_cells x dim doubles — small), so no
+    join and no shuffle on the corpus side.
     """
     C = centroids  # (n_cells, dim)
     c_sq = (C * C).sum(axis=1)  # (n_cells,)
@@ -207,7 +215,7 @@ def _assign_udf(centroids):
     @F.pandas_udf(T.IntegerType())
     def assign(vec: pd.Series) -> pd.Series:
         V = np.vstack(vec.to_numpy())  # (batch, dim)
-        d = c_sq - 2.0 * (V @ C.T)  # (batch, n_cells)
+        d = _cell_distances(V, C, c_sq)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return assign
@@ -222,12 +230,62 @@ def _probe_udf(centroids, n_probes: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe(vec: pd.Series) -> pd.Series:
         V = np.vstack(vec.to_numpy())
-        d = c_sq - 2.0 * (V @ C.T)
+        d = _cell_distances(V, C, c_sq)
         # argsort for determinism (argpartition ties are order-unstable)
         idx = np.argsort(d, kind="stable", axis=1)[:, :p].astype("int32")
         return pd.Series(list(idx))
 
     return probe
+
+
+def ivf_train_local(
+    parquet_path: str,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Single-process reference trainer: deterministic Lloyd's k-means
+    over one parquet file, sharing ``_cell_distances`` with the Spark
+    UDFs bit-for-bit.
+
+    This exists for the driver-oracle contract: centroids trained here
+    are passed to the Spark SERVING path (``ivf_topk(centroids=...)``)
+    AND embedded as literals in the DuckDB oracle, so the hash compare
+    pins assignment + probe + ranked search end to end. ``ivf_train``
+    remains the distributed trainer for corpora that don't fit one
+    process; serving is identical either way.
+
+    Seeds are the ``n_cells`` rows with the smallest md5-derived hash of
+    the id (reproducible without Spark's xxhash64); empty cells keep
+    their previous centroid — same policy as ``ivf_train``.
+    """
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_numpy()
+    V = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    h = np.array(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+    )
+    order = np.argsort(h, kind="stable")
+    C = V[order[:n_cells]].copy()
+    c_sq = (C * C).sum(axis=1)
+    for _ in range(n_iters):
+        cells = np.argmin(_cell_distances(V, C, c_sq), axis=1)
+        C2 = C.copy()
+        for c in range(len(C)):
+            mask = cells == c
+            if mask.any():
+                C2[c] = V[mask].mean(axis=0)
+        C = C2
+        c_sq = (C * C).sum(axis=1)
+    return C
 
 
 def ivf_train(

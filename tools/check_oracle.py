@@ -60,6 +60,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # oracles that replay trained literals (ann_ivf_topk) read the same
+    # SF the queries run at
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import duckdb
     from pyspark.sql import SparkSession
 
