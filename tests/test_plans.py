@@ -114,3 +114,42 @@ def test_gate_sharded_single_shuffle_per_side(spark):
     plan = _plan(gate_sharded(cand, rules_df, with_delay=True))
     assert plan.count("Exchange") == 2, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_near_dup_lsh_distinct_is_narrow(spark):
+    """embedding_near_dups('lsh'): the dedup shuffle must carry only the
+    (id_a, id_b) pair — never the two full embedding vectors (VERDICT r2:
+    the wide distinct moved O(candidates x 2 x dim x 8B) per table)."""
+    from texting_robots_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embedding_near_dups(emb, threshold=0.4, method="lsh", n_tables=2)
+    plan = _plan(q)
+    # every HashAggregate (the distinct) must key on the ids only
+    for frag in plan.split("HashAggregate")[1:]:
+        keys = frag.split("keys=[")[1].split("]")[0] if "keys=[" in frag else ""
+        assert "va" not in keys and "vb" not in keys, plan
+    assert "HashAggregate" in plan  # the distinct exists
+
+
+def test_near_dup_lsh_matches_pre_narrowing_output(spark):
+    """The narrowed plan is output-identical to the exact verifier's
+    subset semantics: every LSH pair is a true >=threshold pair."""
+    from texting_robots_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dups(emb, threshold=0.4, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dups(
+            emb, threshold=0.4, method="lsh", n_tables=8
+        ).collect()
+    }
+    # precision 1.0: every emitted pair is a true >=threshold pair with
+    # the exact verifier's cos_sim (the re-joined vectors are the same
+    # rows the wide pre-narrowing plan carried)
+    assert lsh <= exact
+    assert len(lsh) > 0  # recall bounds are pinned in test_training_ops

@@ -516,9 +516,13 @@ def embedding_near_dups(
                 out = out + bcol
             return out
 
+        # bucket keys only — the vectors do NOT ride the bucket join or
+        # the dedup shuffle (a pair found in several of the n_tables
+        # tables would otherwise drag 2 x dim x 8B through distinct() up
+        # to n_tables times); embeddings re-join on the narrow deduped
+        # (id_a, id_b) pairs for the cosine verify
         keyed = e.select(
             "_id",
-            "_v",
             F.explode(
                 F.array(
                     *[
@@ -530,15 +534,18 @@ def embedding_near_dups(
                     ]
                 )
             ).alias("_tb"),
-        ).select("_id", "_v", "_tb.t", "_tb.b")
-        a = keyed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "t", "b")
-        b = keyed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "t", "b")
-        pairs = (
+        ).select("_id", "_tb.t", "_tb.b")
+        a = keyed.select(F.col("_id").alias("id_a"), "t", "b")
+        b = keyed.select(F.col("_id").alias("id_b"), "t", "b")
+        cand = (
             a.join(b, ["t", "b"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b")
             .distinct()
         )
+        pairs = cand.join(
+            e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+        ).join(e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
     elif method == "ivf":
         if centroids is None:
             centroids = ivf_train(
