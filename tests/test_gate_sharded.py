@@ -160,3 +160,26 @@ def test_sharded_rejects_internal_salt_collision(spark):
     )
     with pytest.raises(ValueError, match="_trs_salt"):
         gate_sharded(cand, rules_df)
+
+
+def test_cached_matcher_reuses_compiles():
+    """The per-worker LRU returns the identical compiled matcher for the
+    same (host, rules version) and a fresh one when rules change or the
+    bound evicts."""
+    from texting_robots_spark.functions import udfs
+
+    udfs._matcher_lru.clear()
+    r1 = (("/x", False), ("/x/y", True))
+    r2 = (("/x", False),)
+    m1 = udfs.cached_matcher("h.example", r1)
+    assert udfs.cached_matcher("h.example", r1) is m1  # hit
+    assert udfs.cached_matcher("h.example", r2) is not m1  # version miss
+    assert udfs.cached_matcher("other.example", r1) is not m1  # host miss
+    # bounded: evicts oldest past the cap
+    udfs._matcher_lru.clear()
+    cap = udfs._MATCHER_LRU_MAX
+    m1 = udfs.cached_matcher("h0", r1)
+    for i in range(1, cap + 1):
+        udfs.cached_matcher(f"h{i}", r1)
+    assert len(udfs._matcher_lru) == cap
+    assert udfs.cached_matcher("h0", r1) is not m1  # was evicted

@@ -15,6 +15,7 @@ row-at-a-time Python UDF exists anywhere in the hot path.
 from __future__ import annotations
 
 import re
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import pandas as pd
@@ -245,6 +246,32 @@ class HostMatcher:
             if not al(p):
                 res[i] = False
         return res
+
+
+# Per-worker LRU of compiled matchers for the sharded (broadcast-free)
+# gate: gate_sharded's cogroup re-receives each host's rules every task
+# of every step, and recompiling costs ~50us/host — real CPU at 10^8
+# hosts x hundreds of steps. Keyed by (host, rules tuple) so a changed
+# rules version naturally misses; bounded so adversarial host spreads
+# cannot grow worker memory.
+_MATCHER_LRU_MAX = 4096
+_matcher_lru: "OrderedDict[tuple, HostMatcher]" = OrderedDict()
+
+
+def cached_matcher(host: str, rules: Tuple[Tuple[str, bool], ...]) -> "HostMatcher":
+    """Fetch-or-compile the HostMatcher for one host's rules, cached for
+    the lifetime of the python worker (same idea as make_allowed_udf's
+    closure cache, shared across gate_sharded tasks)."""
+    key = (host, rules)
+    m = _matcher_lru.get(key)
+    if m is None:
+        m = HostMatcher(rules)
+        _matcher_lru[key] = m
+        if len(_matcher_lru) > _MATCHER_LRU_MAX:
+            _matcher_lru.popitem(last=False)
+    else:
+        _matcher_lru.move_to_end(key)
+    return m
 
 
 def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):

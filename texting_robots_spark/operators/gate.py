@@ -175,7 +175,7 @@ def gate_sharded(
     """
     import pandas as pd
 
-    from ..functions.udfs import HostMatcher
+    from ..functions.udfs import cached_matcher
     from ..urltools import prepare_urls_batch
 
     error_allows = on_parse_error == "allow"
@@ -214,7 +214,9 @@ def gate_sharded(
                     (x["pattern"], x["is_allow"])
                     for x in (rrows if rrows is not None else ())
                 )
-                matcher = HostMatcher(rules)
+                # per-worker LRU: compile once per (host, rules version),
+                # reuse across every task and superstep on this worker
+                matcher = cached_matcher(key[0], rules)
                 if matcher.empty:
                     res = np.ones(n, dtype=bool)
                 else:
