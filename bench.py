@@ -138,7 +138,12 @@ def main():
     documents, robots, seeds = synth_universe(
         n_hosts=200, n_docs=20_000, links_per_doc=4, n_seeds=2000, seed=42
     )
-    docs_df = synth_documents_df(spark, documents).repartition(cpus).cache()
+    # partition the corpus BY THE FETCH-JOIN KEY: every superstep joins
+    # scheduled urls to docs on url, so a url-hash-partitioned cached
+    # corpus lets each step reuse this partitioning instead of
+    # re-shuffling the spans payload (at broadcastable sizes AQE picks a
+    # broadcast join either way; at 100 TB this is the difference)
+    docs_df = synth_documents_df(spark, documents).repartition(cpus, "url").cache()
     docs_df.count()
     robots_df = synth_robots_df(spark, robots)
     cfg = CrawlConfig(

@@ -18,20 +18,29 @@ from pyspark.sql import functions as F
 __all__ = ["extract_links", "span_signature", "explode_spans", "reassemble_spans"]
 
 
-def explode_spans(docs: DataFrame) -> DataFrame:
+def explode_spans(docs: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """documents(doc_id, spans) -> (doc_id, pos, span) rows, order carried
-    explicitly in ``pos``."""
-    return docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+    explicitly in ``pos``. ``passthrough`` columns ride along (explicit,
+    not implicit — the documents table's own ``url`` column would collide
+    with downstream link aliases)."""
+    return docs.select(
+        "doc_id", *passthrough, F.posexplode("spans").alias("pos", "span")
+    )
 
 
-def extract_links(docs: DataFrame) -> DataFrame:
+def extract_links(docs: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Outgoing links, one row per link span, document order preserved via
-    ``pos``. Links live in the span's ``text`` field (FIXTURES.md §3)."""
+    ``pos``. Links live in the span's ``text`` field (FIXTURES.md §3).
+
+    ``passthrough`` lets callers carry per-doc columns (e.g. crawl depth)
+    through the explode instead of re-joining them on doc_id afterwards —
+    one shuffle less in the superstep's hot path."""
     return (
-        explode_spans(docs)
+        explode_spans(docs, passthrough)
         .where(F.col("span.kind") == "link")
         .select(
             "doc_id",
+            *passthrough,
             "pos",
             F.col("span.text").alias("url"),
         )

@@ -48,7 +48,7 @@ from ..operators.gate import (
 )
 from ..operators.links import extract_links
 from ..operators.seen import BloomConfig, build_bloom, probe_bloom
-from ..sources.frontier_store import FRONTIER_DDL, FrontierStore
+from ..sources.frontier_store import FrontierStore
 
 __all__ = [
     "CrawlConfig",
@@ -131,10 +131,15 @@ def init_crawl(
     seeds: List[str],
     cfg: CrawlConfig,
 ) -> int:
-    """Write snapshot v0: seed frontier + its bloom filter."""
-    frontier = seed_frontier(spark, seeds, cfg)
-    filters = build_bloom(frontier, cfg.bloom)
-    return store.write_snapshot(frontier, filters, meta={"step": -1})
+    """Write snapshot v0: seed frontier + its bloom filter. The seed
+    frontier is cached across its two consumers (frontier write + bloom
+    build) so the canonicalize UDF and seed dedup run once, not twice."""
+    frontier = seed_frontier(spark, seeds, cfg).cache()
+    try:
+        filters = build_bloom(frontier, cfg.bloom)
+        return store.write_snapshot(frontier, filters, meta={"step": -1})
+    finally:
+        frontier.unpersist()
 
 
 def schedule_batch(
@@ -233,6 +238,7 @@ def frontier_step(
     frontier = store.read_frontier(spark)
     filters = store.read_filters(spark)
     host_state = store.read_host_state(spark)  # (host, next_allowed) or None
+    _mark("snapshot reads")
 
     # --- 1. eligible queued rows (politeness clock per host) -------------
     eligible = frontier.where(
@@ -245,6 +251,9 @@ def frontier_step(
         eligible = eligible.join(F.broadcast(blocked), "host", "left_anti")
 
     # --- 2. per-host top-k + politeness schedule --------------------------
+    # No dedicated count job: the scheduled count rides the gate
+    # Observation below and is collected by the commit's delta write —
+    # the schedule is computed exactly once, inside the main pipeline.
     if isinstance(rules, RulesTable):
         delays, bcast = rules.delay_frame(), False
     else:
@@ -252,22 +261,12 @@ def frontier_step(
     scheduled = schedule_batch(
         eligible, delays, cfg, t0, broadcast_delays=bcast
     )
-    scheduled.cache()
-    n_scheduled = scheduled.count()
-    _mark("schedule+count")
-    if n_scheduled == 0:
-        store.commit_step(
-            spark,
-            spark.createDataFrame([], FRONTIER_DDL).drop("partition_salt"),
-            meta={"step": step},
-            host_state=host_state,
-        )
-        return {"step": step, "scheduled": 0, "fetched": 0, "disallowed": 0, "new_urls": 0}
 
     # --- 3. robots gate ----------------------------------------------------
-    # fetched/disallowed counters ride the plan as an Observation: they
-    # are collected by the FIRST action that computes `gated` (the
-    # commit's delta write) — no dedicated aggregate job per step
+    # fetched/disallowed counters — and, below the partition-count
+    # threshold, the whole per-partition lineage — ride the plan as one
+    # Observation: collected by the FIRST action that computes `gated`
+    # (the commit's delta write), no dedicated aggregate jobs per step
     from pyspark.sql import Observation
 
     obs_gate = Observation()
@@ -282,15 +281,26 @@ def frontier_step(
         gated_raw = gate(
             scheduled, rules, with_delay=False, on_parse_error=cfg.on_parse_error
         )
-    gated = (
-        gated_raw
-        .observe(
-            obs_gate,
-            F.sum(F.col("allowed").cast("long")).alias("f"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .cache()
-    )
+    pid = F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_partitions))
+    obs_cols = [
+        F.sum(F.col("allowed").cast("long")).alias("f"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    # 2 counters x partition stays cheap as Observation columns up to a
+    # few dozen partitions; past that a dedicated lineage agg job (one
+    # groupBy over the cached gate output) is the better trade
+    obs_lineage = cfg.bloom.n_partitions <= 64
+    if obs_lineage:
+        for i in range(cfg.bloom.n_partitions):
+            obs_cols.append(
+                F.sum(F.when(pid == i, 1).otherwise(0)).alias(f"l{i}")
+            )
+            obs_cols.append(
+                F.sum(
+                    F.when(pid == i, F.col("allowed").cast("long")).otherwise(0)
+                ).alias(f"a{i}")
+            )
+    gated = gated_raw.observe(obs_gate, *obs_cols).cache()
     fetched_batch = gated.where(F.col("allowed"))
     disallowed_batch = gated.where(~F.col("allowed"))
 
@@ -300,8 +310,9 @@ def frontier_step(
     )
 
     # --- 5. link extraction -> canonical candidates ------------------------
-    links = extract_links(fetched_docs.select("doc_id", "spans")).join(
-        fetched_docs.select("doc_id", "depth"), "doc_id", "inner"
+    # depth rides the explode (passthrough) — no re-join on doc_id
+    links = extract_links(
+        fetched_docs.select("doc_id", "depth", "spans"), passthrough=("depth",)
     )
     candidates = (
         links.withColumn("url_c", canonicalize_udf("url"))
@@ -366,10 +377,23 @@ def frontier_step(
         F.lit("disallowed").alias("state"),
         F.lit(float("inf")).alias("not_before"),
     )
-    updates = done.unionByName(denied).unionByName(new_rows)
+    # coalesce (no shuffle) so the delta lands as ~n_buckets files: the
+    # three-way union would otherwise write 3-4x shuffle.partitions tiny
+    # files per step, and every later merge-on-read pays the listing
+    updates = (
+        done.unionByName(denied)
+        .unionByName(new_rows)
+        .coalesce(store.n_buckets)
+    )
     # bloom increment for just this step's new URLs; the store keeps
-    # increments as extra filter rows until compaction merges them
-    filters_increment = build_bloom(new_rows, cfg.bloom)
+    # increments as extra filter rows until compaction merges them.
+    # Lazy: resolved by commit_step AFTER the delta write fires the
+    # observations, so a step with zero new URLs skips the bloom job
+    # and its write entirely.
+    def filters_increment():
+        if int(obs_new.get["n"] or 0) == 0:
+            return None
+        return build_bloom(new_rows, cfg.bloom)
 
     # --- 8. politeness state, metrics, lineage, checkpoint ------------------
     # politeness advance from the rows actually scheduled, not the cap.
@@ -388,6 +412,7 @@ def frontier_step(
         ).unionByName(state_updates)
     else:
         new_host_state = state_updates
+    _mark("plan built")
     # DELTA commit: per-step write cost is O(batch) rows + one bloom
     # increment, not a full-frontier rewrite; the store compacts to a
     # full base every compact_every steps (merge-on-read in between).
@@ -402,31 +427,40 @@ def frontier_step(
         host_state=new_host_state,
     )
     _mark("commit_step")
-    n_fetched = int(obs_gate.get["f"] or 0)
-    n_disallowed = int(obs_gate.get["n"] or 0) - n_fetched
+    vals = obs_gate.get
+    n_scheduled = int(vals["n"] or 0)
+    n_fetched = int(vals["f"] or 0)
+    n_disallowed = n_scheduled - n_fetched
     n_new = int(obs_new.get["n"] or 0)
-    metrics_df = spark.createDataFrame(
-        [(step, n_scheduled, n_fetched, n_disallowed, n_new)],
-        "step int, scheduled long, fetched long, disallowed long, new_urls long",
-    )
-    store.append_metrics(metrics_df)
-    _mark("metrics write")
-    # per-partition lineage: scheduled work per url_hash bucket + state
-    lineage = (
-        gated.withColumn(
-            "partition_id",
-            F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_partitions)).cast("int"),
+    if n_scheduled > 0:
+        # metrics + lineage rows are already on the driver (Observation
+        # counters); append them as one tiny pyarrow file each instead
+        # of spinning a Spark job per side table
+        store.append_metrics_rows(
+            [(step, n_scheduled, n_fetched, n_disallowed, n_new)]
         )
-        .groupBy("partition_id")
-        .agg(
-            F.count("*").alias("n_scheduled"),
-            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
-        )
-        .withColumn("step", F.lit(step))
-    )
-    store.append_lineage(lineage)
-    _mark("lineage write")
-    scheduled.unpersist()
+        if obs_lineage:
+            store.append_lineage_rows(
+                [
+                    (i, int(vals[f"l{i}"] or 0), int(vals[f"a{i}"] or 0), step)
+                    for i in range(cfg.bloom.n_partitions)
+                    if int(vals[f"l{i}"] or 0) > 0
+                ]
+            )
+        else:
+            # wide-partition configs: one groupBy job over the cached
+            # gate output (the pre-round-3 shape)
+            lineage = (
+                gated.withColumn("partition_id", pid.cast("int"))
+                .groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("n_scheduled"),
+                    F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+                )
+                .withColumn("step", F.lit(step))
+            )
+            store.append_lineage(lineage)
+        _mark("metrics+lineage")
     gated.unpersist()
     new_rows.unpersist()
     return {

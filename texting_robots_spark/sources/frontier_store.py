@@ -122,25 +122,50 @@ class FrontierStore:
         self,
         spark: SparkSession,
         updates: DataFrame,
-        filters_increment: Optional[DataFrame] = None,
+        filters_increment=None,
         meta: Optional[dict] = None,
         host_state: Optional[DataFrame] = None,
     ) -> int:
         """Commit one superstep as a DELTA: only the updated/new frontier
         rows and the bloom increment are written. Reads reconstruct
         base + deltas; every ``compact_every`` deltas the reconstruction
-        is rewritten as a new full base (amortized O(batch) per step)."""
+        is rewritten as a new full base (amortized O(batch) per step).
+
+        ``filters_increment`` may be a DataFrame or a zero-arg callable
+        resolved AFTER the delta write — so callers can consult
+        Observation counters collected by that write (e.g. skip the bloom
+        increment entirely when the step discovered no new URLs)."""
         manifest = self._read_manifest()
         version = manifest["current"] + 1
         updates.write.mode("overwrite").parquet(self._snap_dir(version, "delta"))
+        if callable(filters_increment):
+            filters_increment = filters_increment()
+        # the filters/host_state side writes are small jobs over data the
+        # delta write just cached — run them concurrently (Spark schedules
+        # jobs from separate driver threads fine) so the step pays one
+        # small-write latency, not two
+        side_writes = []
         if filters_increment is not None:
-            filters_increment.write.mode("overwrite").parquet(
-                self._snap_dir(version, "filters")
+            side_writes.append(
+                lambda: filters_increment.write.mode("overwrite").parquet(
+                    self._snap_dir(version, "filters")
+                )
             )
         if host_state is not None:
-            host_state.write.mode("overwrite").parquet(
-                self._snap_dir(version, "host_state")
+            side_writes.append(
+                lambda: host_state.write.mode("overwrite").parquet(
+                    self._snap_dir(version, "host_state")
+                )
             )
+        if len(side_writes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(side_writes)) as pool:
+                for fut in [pool.submit(w) for w in side_writes]:
+                    fut.result()
+        else:
+            for w in side_writes:
+                w()
         manifest["current"] = version
         manifest.setdefault("base", -1)
         manifest.setdefault("deltas", []).append(version)
@@ -230,6 +255,53 @@ class FrontierStore:
 
     def append_lineage(self, lineage: DataFrame) -> None:
         lineage.write.mode("append").parquet(os.path.join(self.root, "lineage"))
+
+    def _append_local(self, dirname: str, table) -> None:
+        """Driver-side parquet append for tiny per-step side rows (a
+        handful of already-collected counters): one pyarrow file write
+        instead of a whole Spark job. Readable by spark.read.parquet
+        alongside Spark-written files."""
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.root, dirname)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+
+    def append_metrics_rows(self, rows) -> None:
+        """rows: (step, scheduled, fetched, disallowed, new_urls) ints —
+        values already on the driver (Observation counters)."""
+        import pyarrow as pa
+
+        self._append_local(
+            "metrics",
+            pa.table(
+                {
+                    "step": pa.array([r[0] for r in rows], pa.int32()),
+                    "scheduled": pa.array([r[1] for r in rows], pa.int64()),
+                    "fetched": pa.array([r[2] for r in rows], pa.int64()),
+                    "disallowed": pa.array([r[3] for r in rows], pa.int64()),
+                    "new_urls": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            ),
+        )
+
+    def append_lineage_rows(self, rows) -> None:
+        """rows: (partition_id, n_scheduled, n_allowed, step) ints."""
+        import pyarrow as pa
+
+        self._append_local(
+            "lineage",
+            pa.table(
+                {
+                    "partition_id": pa.array([r[0] for r in rows], pa.int32()),
+                    "n_scheduled": pa.array([r[1] for r in rows], pa.int64()),
+                    "n_allowed": pa.array([r[2] for r in rows], pa.int64()),
+                    "step": pa.array([r[3] for r in rows], pa.int32()),
+                }
+            ),
+        )
 
     def read_metrics(self, spark: SparkSession) -> Optional[DataFrame]:
         path = os.path.join(self.root, "metrics")
