@@ -214,3 +214,31 @@ def test_embedding_near_dups_bucketed_recall(spark, embeddings):
         assert got <= exact, f"{method}: false pairs {sorted(got - exact)[:3]}"
         recall = len(got & exact) / len(exact)
         assert recall >= 0.3, f"{method} recall {recall}"
+
+
+def test_simhash_numpy_matches_native_expression(spark):
+    """The one-pass numpy bit-vote kernel (default) must be bit-identical
+    to the pure Catalyst expression twin — including empty/whitespace
+    docs (0 >= 0 sets every bit) — for both base hashes."""
+    from texting_robots_spark.operators.dedup import simhash
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .unionByName(
+            spark.createDataFrame(
+                [("e1", ""), ("e2", "   "), ("e3", "one"), ("e4", None)],
+                "doc_id string, text string",
+            )
+        )
+    )
+    for base_hash, bits in (("xxhash64", 64), ("md5", 60)):
+        a = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(docs, bits=bits, base_hash=base_hash, impl="native").collect()
+        }
+        b = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(docs, bits=bits, base_hash=base_hash, impl="numpy").collect()
+        }
+        assert a == b

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import List
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -201,22 +203,75 @@ def minhash_lsh_candidates(
     )
 
 
+def _simhash_kernel(hs_values, bits: int):
+    """One-pass numpy bit-vote over a batch of token-hash arrays.
+
+    ``hs_values``: sequence of int64 arrays (one per doc; None for NULL
+    text). Semantics are exactly the native expression form's: bit b of
+    the fingerprint is set iff 2 * count(tokens with bit b set) >=
+    n_tokens — including the empty-doc case (0 >= 0), where every bit
+    votes 1, and NULL text, where size(NULL) = -1 makes every vote fail
+    (fingerprint 0).
+    """
+    import numpy as np
+
+    n = len(hs_values)
+    out = np.empty(n, dtype=np.int64)
+    lens = np.fromiter(
+        (-1 if x is None else len(x) for x in hs_values), dtype=np.int64, count=n
+    )
+    out[lens < 0] = 0
+    empty_fp = -1 if bits == 64 else (1 << bits) - 1
+    out[lens == 0] = empty_fp
+    nz = np.flatnonzero(lens > 0)
+    if len(nz):
+        arrs = [np.asarray(hs_values[i], dtype=np.int64) for i in nz]
+        flat = np.concatenate(arrs).view(np.uint64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        lens_nz = lens[nz].astype(np.uint64)
+        fp = np.zeros(len(nz), dtype=np.int64)
+        one = np.uint64(1)
+        for b in range(bits):
+            ones = np.add.reduceat((flat >> np.uint64(b)) & one, starts)
+            fp |= (np.uint64(2) * ones >= lens_nz).astype(np.int64) << b
+        out[nz] = fp
+    return out
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
     bits: int = 64,
     base_hash: str = "xxhash64",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Add ``simhash`` long: per-token bit-vote fingerprint.
 
-    Pure native expressions: for each bit position, count tokens with the
-    bit set vs total; majority sets the bit. ``base_hash='md5'`` gives a
-    DuckDB-reproducible variant (use bits<=60: the md5-derived base hash
-    is 60 bits wide, see base_hash_expr).
+    The base token hash is JVM-side either way (``base_hash='md5'``
+    gives the DuckDB-reproducible variant; use bits<=60 with it — the
+    md5-derived base hash is 60 bits wide, see base_hash_expr).
+
+    impl='numpy' (default): the bit-vote runs as ONE vectorized pandas
+    UDF over the token-hash arrays (np.add.reduceat per bit-plane) —
+    measured ~2x faster than the expression form at sf0.1, where 64
+    separate F.filter passes dominate. impl='native' keeps the pure
+    Catalyst expression twin (bit-identical output; it also documents
+    the semantics the DuckDB oracle replays).
     """
     toks = F.transform(
         tokenize(F.col(text_col)), lambda t: base_hash_expr(t, base_hash)
     )
+    if impl == "numpy":
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.LongType())
+        def _fp(hs: pd.Series) -> pd.Series:
+            return pd.Series(_simhash_kernel(hs.to_numpy(), bits))
+
+        return docs.withColumn("simhash", _fp(toks))
+    if impl != "native":
+        raise ValueError(f"unknown impl: {impl!r}")
     total = F.size(toks)
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
