@@ -1,0 +1,76 @@
+"""The self-feeding streaming crawl (streaming/loop.py) must DISCOVER
+URLs — not replay pre-computed eligible sets — and still reproduce the
+batch crawl exactly: same (url_hash, fetch_time) fetch set across both
+steps AND the same discovered-URL set (NOTES_r2 caveat 5 closed)."""
+
+from pyspark.sql import functions as F
+
+from texting_robots_spark.operators.gate import RulesBroadcast, build_rules
+from texting_robots_spark.operators.seen import BloomConfig
+from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
+from texting_robots_spark.sources.frontier_store import FrontierStore
+from texting_robots_spark.sources.synth import (
+    synth_documents_df,
+    synth_robots_df,
+    synth_universe,
+)
+from texting_robots_spark.streaming.loop import run_stream_crawl
+
+
+def test_stream_crawl_loop_matches_batch_crawl(spark, tmp_path):
+    documents, robots, seeds = synth_universe(
+        n_hosts=10, n_docs=200, n_seeds=16, seed=7
+    )
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=3,
+        step_seconds=10.0,
+        default_delay=2.0,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 20, n_hashes=4),
+    )
+    rules = RulesBroadcast(spark, build_rules(robots_df, cfg.agent))
+
+    # --- batch reference: 2 supersteps ---------------------------------
+    store = FrontierStore(str(tmp_path / "crawl"), n_buckets=4)
+    run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=2, rules=rules)
+    frontier = store.read_frontier(spark).cache()
+    delays = rules.delay_df()
+    batch_fetch = {
+        (r["url_hash"], round(r["not_before"] - r["crawl_delay"], 6))
+        for r in (
+            frontier.where(F.col("state") == "fetched")
+            .join(F.broadcast(delays), "host", "left")
+            .withColumn(
+                "crawl_delay", F.coalesce("crawl_delay", F.lit(cfg.default_delay))
+            )
+            .select("url_hash", "not_before", "crawl_delay")
+            .collect()
+        )
+    }
+    batch_urls = {r["url_hash"] for r in frontier.select("url_hash").collect()}
+    assert len(batch_fetch) > 5 and len(batch_urls) > len(batch_fetch)
+
+    # --- streaming loop: seeds in, URLs discovered by feedback ----------
+    res = run_stream_crawl(
+        spark, docs_df, rules, seeds, cfg, n_steps=2,
+        workdir=str(tmp_path / "loop"),
+    )
+    assert res["steps"] == 2
+    out = spark.read.parquet(res["out"])
+    got_fetch = {
+        (r["url_hash"], round(r["fetch_time"], 6)) for r in out.collect()
+    }
+    assert got_fetch == batch_fetch
+    # discovered set: seeds + every fed-back candidate (incl. the final
+    # step's, which lands in discovered/) == every url_hash the batch
+    # frontier ever inserted
+    discovered = {
+        r["url_hash"]
+        for r in spark.read.schema(
+            "url_hash long, url string, host string, priority double, "
+            "depth int, step int"
+        ).parquet(res["src"], res["discovered"]).collect()
+    }
+    assert discovered == batch_urls

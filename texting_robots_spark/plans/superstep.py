@@ -54,6 +54,7 @@ __all__ = [
     "CrawlConfig",
     "seed_frontier",
     "schedule_batch",
+    "link_candidates",
     "frontier_step",
     "run_crawl",
 ]
@@ -222,6 +223,27 @@ def schedule_batch(
     return ranked
 
 
+def link_candidates(links: DataFrame) -> DataFrame:
+    """(url, depth) link rows -> canonical, in-batch-deduped frontier
+    candidates: canonicalize, drop non-absolute, key by url_hash, keep
+    min url/host and min parent depth + 1, priority = 1/(1+depth).
+    Shared by the batch superstep and the streaming crawl loop so both
+    derive bit-identical candidate sets."""
+    return (
+        links.withColumn("url_c", canonicalize_udf("url"))
+        .where(F.col("url_c").isNotNull())
+        .select(F.col("url_c").alias("url"), "depth")
+        .transform(_with_keys)
+        .groupBy("url_hash")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("host").alias("host"),
+            (F.min("depth") + 1).alias("depth"),
+        )
+        .withColumn("priority", F.lit(1.0) / (F.lit(1.0) + F.col("depth")))
+    )
+
+
 def frontier_step(
     spark: SparkSession,
     store: FrontierStore,
@@ -314,19 +336,7 @@ def frontier_step(
     links = extract_links(
         fetched_docs.select("doc_id", "depth", "spans"), passthrough=("depth",)
     )
-    candidates = (
-        links.withColumn("url_c", canonicalize_udf("url"))
-        .where(F.col("url_c").isNotNull())
-        .select(F.col("url_c").alias("url"), "depth")
-        .transform(_with_keys)
-        .groupBy("url_hash")
-        .agg(
-            F.min("url").alias("url"),
-            F.min("host").alias("host"),
-            (F.min("depth") + 1).alias("depth"),
-        )
-        .withColumn("priority", F.lit(1.0) / (F.lit(1.0) + F.col("depth")))
-    )
+    candidates = link_candidates(links)
 
     # --- 6. seen-set dedup: bloom prefilter + exact anti-join --------------
     if filters is not None:

@@ -1,0 +1,226 @@
+"""Self-feeding streaming crawl: the stream DISCOVERS URLs.
+
+Round-2's streaming layer replayed pre-computed eligible sets; this
+module closes the loop (NOTES_r2 caveat 5). Architecture:
+
+    candidate files (src/)  ->  readStream
+        -> stream_seen_filter          [stateful: bloom bits in group state]
+        -> foreachBatch:
+             union with the PENDING side table (politeness leftovers)
+             -> schedule_batch          [the batch superstep's exact code]
+             -> robots gate             [broadcast rules, stationary]
+             -> fetched rows appended to out/
+             -> link extraction -> link_candidates  [superstep's exact code]
+             -> NEW candidate file written back into src/   <-- feedback
+
+One micro-batch == one crawl step (maxFilesPerTrigger=1; every step
+produces exactly one candidate file). The URL-seen set lives in
+STREAMING GROUP STATE — rows the bloom has seen never re-enter the
+loop — while per-host politeness state and the unscheduled-leftover
+("pending") set are side parquet tables swapped atomically per batch,
+exactly the batch superstep's host_state mechanics.
+
+Semantics match run_crawl step for step: scheduling, gating, candidate
+derivation, and politeness arithmetic are the same functions
+(schedule_batch / link_candidates / make_allowed_udf), so a 2-step
+batch crawl and this loop produce the identical (url_hash, fetch_time)
+fetch set AND the identical discovered-URL set (pinned in pytest).
+
+Scale notes: the seen set is bounded group state (n_bits/8 bytes per
+hash partition); pending/host_state are O(frontier backlog) and
+O(active hosts) parquet tables; the feedback file is O(per-step
+discoveries). A bloom false positive drops a genuinely-new URL (no
+exact anti-join backstop in the stream) — size cfg.bloom.n_bits for the
+expected crawl volume, same math as operators/seen.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import make_allowed_udf
+from ..operators.links import extract_links
+from ..plans.superstep import (
+    CrawlConfig,
+    link_candidates,
+    schedule_batch,
+    seed_frontier,
+)
+from .stateful import stream_seen_filter
+
+__all__ = ["run_stream_crawl", "CAND_DDL"]
+
+CAND_DDL = (
+    "url_hash long, url string, host string, priority double, depth int, "
+    "step int"
+)
+
+
+def _write_one_file(df: DataFrame, stage_dir: str, dest: str) -> None:
+    """Materialize ``df`` as exactly one parquet file at ``dest`` (the
+    file-per-step contract that keeps one micro-batch == one crawl
+    step)."""
+    df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+    part = glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+    shutil.move(part, dest)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def _swap_dir(src_tmp: str, dest: str) -> None:
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.replace(src_tmp, dest)
+
+
+def run_stream_crawl(
+    spark: SparkSession,
+    docs: DataFrame,
+    rules,  # RulesBroadcast
+    seeds: List[str],
+    cfg: CrawlConfig,
+    n_steps: int,
+    workdir: str,
+    timeout_sec: float = 300.0,
+) -> dict:
+    """Run ``n_steps`` crawl steps as a self-feeding stream; returns
+    {"out": fetched-rows parquet dir, "discovered": discovered-candidate
+    parquet glob, "steps": steps executed}.
+
+    ``docs`` is the fetch stand-in corpus (url, doc_id, spans);
+    ``rules`` a RulesBroadcast. The caller owns ``workdir``.
+    """
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    pending_dir = os.path.join(workdir, "pending")
+    hstate_dir = os.path.join(workdir, "host_state")
+    discovered = os.path.join(workdir, "discovered")
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
+    os.makedirs(discovered, exist_ok=True)
+
+    # step 0's candidate file: the canonicalized, deduped seed set
+    seed_df = seed_frontier(spark, seeds, cfg).select(
+        "url_hash", "url", "host", "priority", "depth", F.lit(0).alias("step")
+    )
+    _write_one_file(
+        seed_df, os.path.join(workdir, "stage_seed"), os.path.join(src, "step0.parquet")
+    )
+
+    allowed_udf = make_allowed_udf(rules.broadcast, on_parse_error=cfg.on_parse_error)
+    delays = rules.delay_df()
+    docs_slim = docs.select(F.col("url").alias("url"), "doc_id", "spans")
+    state = {"step": 0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        step = state["step"]
+        state["step"] = step + 1
+        t0 = step * cfg.step_seconds
+        fresh = batch_df.select(
+            "url_hash", "url", "host", "priority", "depth"
+        )
+        if os.path.exists(pending_dir):
+            cands = spark.read.parquet(pending_dir).unionByName(fresh)
+        else:
+            cands = fresh
+        # politeness eligibility (batch superstep §1): hosts whose clock
+        # exceeds this step's t0 sit out; their rows stay pending
+        eligible = cands.where(F.col("depth") <= F.lit(cfg.max_depth))
+        if os.path.exists(hstate_dir):
+            host_state = spark.read.parquet(hstate_dir)
+            blocked = host_state.where(F.col("next_allowed") > F.lit(t0)).select("host")
+            eligible = eligible.join(F.broadcast(blocked), "host", "left_anti")
+        else:
+            host_state = None
+        scheduled = schedule_batch(eligible, delays, cfg, t0).cache()
+        gated = scheduled.withColumn(
+            "allowed", allowed_udf(F.col("host"), F.col("url"))
+        ).cache()
+        fetched = gated.where(F.col("allowed"))
+        # fetched rows out (the crawl-order artifact)
+        fetched.select(
+            "url_hash", "url", "host", "depth", "fetch_time",
+            F.lit(step).alias("step"),
+        ).coalesce(1).write.mode("append").parquet(out)
+        # feedback: extract -> canonical candidates; the stateful bloom
+        # upstream drops everything already seen, so this file may feed
+        # zero fresh rows — the NEXT batch still fires (one file = one
+        # step) and schedules the pending backlog
+        fetched_docs = fetched.select("url", "depth").join(docs_slim, "url", "inner")
+        links = extract_links(
+            fetched_docs.select("doc_id", "depth", "spans"), passthrough=("depth",)
+        )
+        feedback = link_candidates(links).select(
+            "url_hash", "url", "host", "priority", "depth",
+            F.lit(step + 1).alias("step"),
+        )
+        # intermediate feedback goes back into the stream source (the
+        # loop); the FINAL step's discoveries land beside it instead —
+        # they are part of the crawl's discovered-URL set but must not
+        # trigger a batch past n_steps (a trigger racing query.stop()
+        # fails the query)
+        dest = src if step + 1 < n_steps else discovered
+        _write_one_file(
+            feedback,
+            os.path.join(workdir, f"stage_fb{step}"),
+            os.path.join(dest, f"step{step + 1}.parquet"),
+        )
+        # pending' = candidates not scheduled this step (leftovers keep
+        # their priority/depth and retry next step — batch §7 'queued')
+        pending_next = cands.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        )
+        tmp_p = pending_dir + "_next"
+        pending_next.write.mode("overwrite").parquet(tmp_p)
+        # politeness advance from the rows actually scheduled (batch §8)
+        state_updates = gated.groupBy("host").agg(
+            (F.lit(t0) + F.count("*") * F.max("crawl_delay")).alias("next_allowed")
+        )
+        if host_state is not None:
+            new_hs = host_state.join(
+                state_updates.select("host"), "host", "left_anti"
+            ).unionByName(state_updates)
+        else:
+            new_hs = state_updates
+        tmp_h = hstate_dir + "_next"
+        new_hs.write.mode("overwrite").parquet(tmp_h)
+        scheduled.unpersist()
+        gated.unpersist()
+        _swap_dir(tmp_p, pending_dir)
+        _swap_dir(tmp_h, hstate_dir)
+        state["done"] = step + 1  # completion sentinel (stop-safety)
+
+    stream = (
+        spark.readStream.schema(CAND_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream_seen_filter(stream, cfg.bloom)
+    query = (
+        deduped.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + timeout_sec
+    try:
+        # wait on the completion sentinel (set at the END of each
+        # foreachBatch), so stop() can never kill a half-written step
+        while state.get("done", 0) < n_steps and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        query.stop()
+        query.awaitTermination(60)
+    return {
+        "out": out,
+        "src": src,
+        "discovered": discovered,
+        "steps": state.get("done", 0),
+    }
