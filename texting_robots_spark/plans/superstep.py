@@ -99,10 +99,18 @@ def _host_of(url_col) -> F.Column:
     return F.regexp_extract(url_col, HOST_RE, 1)
 
 
-def _with_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return df.withColumn("url_hash", F.xxhash64(F.col(url_col))).withColumn(
-        "host", _host_of(F.col(url_col))
-    )
+def _with_keys(
+    df: DataFrame, url_col: str = "url", base_hash: str = "xxhash64"
+) -> DataFrame:
+    """Key rows by url_hash + host. ``base_hash`` follows the md5-twin
+    convention (operators/dedup.py:base_hash_expr): xxhash64 is the
+    production hash; 'md5' derives a 60-bit hash DuckDB reproduces
+    byte-for-byte, which makes downstream dataflow oracle-checkable."""
+    from ..operators.dedup import base_hash_expr
+
+    return df.withColumn(
+        "url_hash", base_hash_expr(F.col(url_col), base_hash)
+    ).withColumn("host", _host_of(F.col(url_col)))
 
 
 def seed_frontier(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> DataFrame:
@@ -223,17 +231,19 @@ def schedule_batch(
     return ranked
 
 
-def link_candidates(links: DataFrame) -> DataFrame:
+def link_candidates(links: DataFrame, base_hash: str = "xxhash64") -> DataFrame:
     """(url, depth) link rows -> canonical, in-batch-deduped frontier
     candidates: canonicalize, drop non-absolute, key by url_hash, keep
     min url/host and min parent depth + 1, priority = 1/(1+depth).
     Shared by the batch superstep and the streaming crawl loop so both
-    derive bit-identical candidate sets."""
+    derive bit-identical candidate sets. ``base_hash='md5'`` swaps the
+    url_hash expression for the DuckDB-reproducible 60-bit variant (the
+    ``superstep_one_step`` driver oracle); production stays xxhash64."""
     return (
         links.withColumn("url_c", canonicalize_udf("url"))
         .where(F.col("url_c").isNotNull())
         .select(F.col("url_c").alias("url"), "depth")
-        .transform(_with_keys)
+        .transform(lambda df: _with_keys(df, base_hash=base_hash))
         .groupBy("url_hash")
         .agg(
             F.min("url").alias("url"),
