@@ -630,6 +630,213 @@ def _schedule_step(spark, sf_dir):
     )
 
 
+def _superstep_one_step(spark, sf_dir):
+    """One FULL superstep dataflow — schedule -> robots gate -> fetch
+    join -> span link extraction -> canonicalize -> in-batch dedup ->
+    bloom probe + exact anti-join -> update rows — hash-oracled.
+
+    The iterative crawl (``crawl_superstep``) can't be SQL, but one step
+    over a frozen frontier is: the same ``schedule_batch`` /
+    ``gate`` / ``extract_links`` / ``link_candidates`` / ``probe_bloom``
+    code paths ``frontier_step`` runs (plans/superstep.py), with three
+    deterministic choices that make DuckDB able to replay it exactly:
+
+    - robots.txt bodies contain only literal-prefix rules (Disallow
+      /p/<d>, Allow /p/<d><d>, Crawl-delay), so the gate's longest-match
+      precedence (reference minregex.rs literal tier) is a CASE over
+      starts_with;
+    - url_hash is the md5-derived 60-bit variant end to end (the
+      md5-twin convention, operators/dedup.py:base_hash_expr);
+    - the bloom prefilter has no false negatives and every maybe_seen
+      row goes through the exact anti-join, so new_rows == plain
+      anti-join — which is exactly what the oracle replays (this pins
+      the no-false-negative property every round).
+
+    Output: the step's complete update set (fetched / disallowed /
+    queued-new rows) with politeness not_before arithmetic."""
+    from texting_robots_spark.operators.dedup import base_hash_expr
+    from texting_robots_spark.operators.gate import RulesBroadcast, build_rules, gate
+    from texting_robots_spark.operators.links import extract_links
+    from texting_robots_spark.operators.seen import BloomConfig, build_bloom, probe_bloom
+    from texting_robots_spark.plans.superstep import (
+        CrawlConfig,
+        link_candidates,
+        schedule_batch,
+    )
+
+    docs0 = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    n = docs0.count()
+    hidx = F.col("doc_id") % 25
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    frontier = docs0.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        (((F.col("doc_id") * 37) % 100) / F.lit(100.0)).alias("priority"),
+        (F.col("doc_id") % 5).cast("int").alias("depth"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(999.0))
+        .otherwise(F.lit(0.0))
+        .alias("not_before"),
+        hidx.alias("hidx"),
+    ).withColumn("url_hash", base_hash_expr(F.col("url"), "md5"))
+
+    # literal-prefix robots.txt per host: disallow digit dd, re-allow the
+    # longer dd.dd prefix, Crawl-delay for 4 of 5 host groups (the fifth
+    # exercises the default-delay coalesce)
+    dd = (F.col("hidx") % 10).cast("string")
+    delay_line = F.when(
+        F.col("hidx") % 5 != 4,
+        F.concat(
+            F.lit("Crawl-delay: "),
+            (F.lit(0.5) + (F.col("hidx") % 4).cast("double") * F.lit(4.0)).cast(
+                "string"
+            ),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("User-agent: TRSBot\nDisallow: /p/"),
+        dd,
+        F.lit("\nAllow: /p/"),
+        dd,
+        dd,
+        F.lit("\n"),
+        delay_line,
+    )
+    robots_raw = (
+        frontier.select("host", body.alias("_b"))
+        .distinct()
+        .select("host", F.encode("_b", "UTF-8").alias("body"))
+    )
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.25,
+        max_depth=3,
+        bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
+    )
+    rules = RulesBroadcast(spark, build_rules(robots_raw, cfg.agent))
+    t0 = 10.0
+    eligible = frontier.where(
+        (F.col("not_before") <= F.lit(t0)) & (F.col("depth") <= F.lit(cfg.max_depth))
+    ).drop("hidx", "not_before")
+    scheduled = schedule_batch(eligible, rules.delay_df(), cfg, t0)
+    gated = gate(scheduled, rules, with_delay=False)
+
+    # interleaved docs: spans = [text, link(seen), media, link(new)] —
+    # one link back into the frontier (exercises the maybe_seen -> exact
+    # anti-join path), one to a never-seen /new/ URL (definite-new path)
+    tgt = frontier.select(
+        F.col("doc_id").alias("_tid"),
+        F.col("url").alias("_turl"),
+        F.col("host").alias("_thost"),
+    )
+    wired = (
+        frontier.select(
+            "doc_id",
+            "url",
+            ((F.col("doc_id") * 7 + 1) % n).alias("_t1"),
+            ((F.col("doc_id") * 13 + 3) % n).alias("_t2"),
+        )
+        .join(
+            F.broadcast(
+                tgt.select(
+                    F.col("_tid").alias("_t1"), F.col("_turl").alias("_seen_url")
+                )
+            ),
+            "_t1",
+        )
+        .join(
+            F.broadcast(
+                tgt.select(
+                    F.col("_tid").alias("_t2"), F.col("_thost").alias("_h2")
+                )
+            ),
+            "_t2",
+        )
+    )
+    new_url = F.concat(
+        F.lit("https://"), F.col("_h2"), F.lit("/new/"), F.col("_t2").cast("string")
+    )
+    _null_s = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("lorem ipsum").alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            F.col("_seen_url").alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            _null_s.alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(2).alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            new_url.alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(3).alias("offset"),
+        ),
+    )
+    docs_full = wired.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "url", spans.alias("spans")
+    )
+
+    fetched = gated.where(F.col("allowed"))
+    fetched_docs = fetched.select("url", "depth").join(docs_full, "url", "inner")
+    links = extract_links(
+        fetched_docs.select("doc_id", "depth", "spans"), passthrough=("depth",)
+    )
+    candidates = link_candidates(links, base_hash="md5")
+    filters = build_bloom(frontier.select("url_hash"), cfg.bloom)
+    probed = probe_bloom(candidates, filters, cfg.bloom)
+    definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(frontier.select("url_hash"), "url_hash", "left_anti")
+    new_rows = definite_new.unionByName(confirmed_new).select(
+        F.lit("queued").alias("state"),
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        F.lit(0.0).alias("not_before"),
+    )
+    done = fetched.select(
+        F.lit("fetched").alias("state"),
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        F.round(F.col("fetch_time") + F.col("crawl_delay"), 6).alias("not_before"),
+    )
+    denied = gated.where(~F.col("allowed")).select(
+        F.lit("disallowed").alias("state"),
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        F.lit(None).cast("double").alias("not_before"),
+    )
+    return done.unionByName(denied).unionByName(new_rows)
+
+
 def _rank_orders_window(spark, sf_dir):
     """rank/dense_rank/row_number with deterministic tie-break — the
     frontier's per-host priority ordering shape."""
@@ -706,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate_conformance": _robots_gate_conformance,
         "crawl_superstep": _crawl_superstep,
         "schedule_step": _schedule_step,
+        "superstep_one_step": _superstep_one_step,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "media_features": _media_features,
@@ -1227,6 +1435,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(allowance AS BIGINT) AS allowance,
                    round(10.0 + (rank - 1) * crawl_delay, 6) AS fetch_time
             FROM a WHERE rank <= allowance
+        """,
+        "superstep_one_step": """
+            -- one full superstep replayed in SQL: schedule window ->
+            -- literal-prefix robots gate (longest-match: the longer
+            -- Allow /p/dd.dd prefix beats Disallow /p/dd) -> fetch ->
+            -- link spans -> candidate dedup -> exact anti-join (the
+            -- Spark side runs the bloom prefilter, which has no false
+            -- negatives, so its new_rows set equals this anti-join)
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(doc_id AS VARCHAR) AS sd,
+                       'https://' || source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example' AS host,
+                       CAST(doc_id * 37 % 100 AS DOUBLE) / 100.0 AS priority,
+                       doc_id % 5 AS depth,
+                       CASE WHEN doc_id % 11 = 0 THEN 999.0 ELSE 0.0 END
+                           AS not_before,
+                       doc_id % 25 AS hidx,
+                       CAST(doc_id % 25 % 10 AS VARCHAR) AS dd
+                FROM documents
+            ), hf AS (
+                SELECT *, CAST(CONCAT('0x', substr(md5(url), 1, 15)) AS BIGINT)
+                          AS url_hash
+                FROM f
+            ), elig AS (
+                SELECT * FROM hf WHERE not_before <= 10.0 AND depth <= 3
+            ), d AS (
+                SELECT DISTINCT host,
+                       0.5 + CAST(hidx % 4 AS DOUBLE) * 4.0 AS crawl_delay
+                FROM f WHERE hidx % 5 <> 4
+            ), r AS (
+                SELECT e.doc_id, e.sd, e.dd, e.url, e.host, e.priority,
+                       e.depth,
+                       COALESCE(d.crawl_delay, 0.25) AS crawl_delay,
+                       row_number() OVER (
+                           PARTITION BY e.host
+                           ORDER BY e.priority DESC, e.url_hash ASC
+                       ) AS rank
+                FROM elig e LEFT JOIN d ON d.host = e.host
+            ), sched AS (
+                SELECT * FROM r
+                WHERE rank <= LEAST(4, GREATEST(1, CAST(floor(
+                          10.0 / greatest(crawl_delay, 1e-9)) AS INT)))
+            ), g AS (
+                SELECT *,
+                       CASE WHEN starts_with(sd, dd || dd) THEN TRUE
+                            WHEN starts_with(sd, dd) THEN FALSE
+                            ELSE TRUE END AS allowed
+                FROM sched
+            ), n_docs AS (SELECT count(*) AS n FROM documents
+            ), links AS (
+                SELECT t.url AS url, t.host AS host, g.depth AS pdepth
+                FROM g, n_docs
+                JOIN hf t ON t.doc_id = (g.doc_id * 7 + 1) % n_docs.n
+                WHERE g.allowed
+                UNION ALL
+                SELECT 'https://' || t.host || '/new/'
+                           || CAST(t.doc_id AS VARCHAR),
+                       t.host, g.depth
+                FROM g, n_docs
+                JOIN hf t ON t.doc_id = (g.doc_id * 13 + 3) % n_docs.n
+                WHERE g.allowed
+            ), cand AS (
+                SELECT CAST(CONCAT('0x', substr(md5(url), 1, 15)) AS BIGINT)
+                           AS url_hash,
+                       min(url) AS url, min(host) AS host,
+                       min(pdepth) + 1 AS depth
+                FROM links
+                GROUP BY 1
+            ), newr AS (
+                SELECT c.* FROM cand c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM hf WHERE hf.url_hash = c.url_hash
+                )
+            )
+            SELECT 'fetched' AS state, url, host,
+                   CAST(depth AS BIGINT) AS depth,
+                   round(priority, 6) AS priority,
+                   round((10.0 + (rank - 1) * crawl_delay) + crawl_delay, 6)
+                       AS not_before
+            FROM g WHERE allowed
+            UNION ALL
+            SELECT 'disallowed', url, host, CAST(depth AS BIGINT),
+                   round(priority, 6), NULL
+            FROM g WHERE NOT allowed
+            UNION ALL
+            SELECT 'queued', url, host, CAST(depth AS BIGINT),
+                   round(1.0 / (1.0 + depth), 6), 0.0
+            FROM newr
         """,
         "ann_lsh_topk": _ann_lsh_sql,
         "ann_ivf_topk": _ann_ivf_sql,
