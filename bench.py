@@ -163,6 +163,9 @@ def main():
     rates["frontier_urls_processed"] = n_processed
 
     # --- representative sf queries ---------------------------------------
+    # best-of-2 on the short lines: single-shot numbers swing ~2x with
+    # sandbox VM noise (NOTES_r3 caveat 1); the crawl stays single-shot
+    # (it is long enough to average the noise and too long to repeat)
     qfns = entrymod.queries()
     for name in (
         "q1_pricing_summary",
@@ -175,9 +178,12 @@ def main():
         "quality_features",
         "similarity_topk",
     ):
-        t0 = time.time()
-        n = qfns[name](spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        dt, n = 1e9, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = qfns[name](spark, sf_dir).count()
+            dt = min(dt, time.time() - t0)
+        queries[name] = round(dt, 3)
         if n == 0:
             rates[f"{name}_rows"] = 0
 
@@ -192,12 +198,18 @@ def main():
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    t0 = time.time()
-    minhash_lsh_candidates(docs, n_hashes=4, band_size=2).count()
-    queries["minhash_lsh_pairs"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    simhash(docs).select("doc_id", "simhash").count()
-    queries["simhash_fingerprints"] = round(time.time() - t0, 3)
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        minhash_lsh_candidates(docs, n_hashes=4, band_size=2).count()
+        dt = min(dt, time.time() - t0)
+    queries["minhash_lsh_pairs"] = round(dt, 3)
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        simhash(docs).select("doc_id", "simhash").count()
+        dt = min(dt, time.time() - t0)
+    queries["simhash_fingerprints"] = round(dt, 3)
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

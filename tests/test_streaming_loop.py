@@ -74,3 +74,55 @@ def test_stream_crawl_loop_matches_batch_crawl(spark, tmp_path):
         ).parquet(res["src"], res["discovered"]).collect()
     }
     assert discovered == batch_urls
+
+
+def test_stream_crawl_exact_backstop_survives_tiny_bloom(spark, tmp_path):
+    """Adversarial bloom sizing: 256 bits per partition over hundreds of
+    URLs guarantees heavy false-positive rates. Drop-mode streaming
+    would lose discoveries; the annotate-mode filter + exact anti-join
+    backstop (streaming/loop.py seen/ table) must still reproduce the
+    batch crawl's fetch set and discovered set bit-for-bit (the batch
+    path has its own exact backstop, so it is ground truth at ANY
+    bloom size)."""
+    documents, robots, seeds = synth_universe(
+        n_hosts=10, n_docs=200, n_seeds=16, seed=11
+    )
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=3,
+        step_seconds=10.0,
+        default_delay=2.0,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 8, n_hashes=4),
+    )
+    rules = RulesBroadcast(spark, build_rules(robots_df, cfg.agent))
+
+    store = FrontierStore(str(tmp_path / "crawl"), n_buckets=4)
+    run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=2, rules=rules)
+    frontier = store.read_frontier(spark).cache()
+    batch_fetched = {
+        r["url_hash"]
+        for r in frontier.where(F.col("state") == "fetched")
+        .select("url_hash")
+        .collect()
+    }
+    batch_urls = {r["url_hash"] for r in frontier.select("url_hash").collect()}
+
+    res = run_stream_crawl(
+        spark, docs_df, rules, seeds, cfg, n_steps=2,
+        workdir=str(tmp_path / "loop"),
+    )
+    assert res["steps"] == 2
+    got_fetched = {
+        r["url_hash"] for r in spark.read.parquet(res["out"]).collect()
+    }
+    assert got_fetched == batch_fetched
+    discovered = {
+        r["url_hash"]
+        for r in spark.read.schema(
+            "url_hash long, url string, host string, priority double, "
+            "depth int, step int"
+        ).parquet(res["src"], res["discovered"]).collect()
+    }
+    assert discovered == batch_urls

@@ -349,18 +349,18 @@ def frontier_step(
     candidates = link_candidates(links)
 
     # --- 6. seen-set dedup: bloom prefilter + exact anti-join --------------
+    # the exact check probes the frontier's KEY SET (store.read_keys:
+    # base + delta url_hash columns, no merge-on-read join chain — at
+    # scale a single-column parquet scan, not k anti-joins of full rows)
+    seen_keys = store.read_keys(spark)
     if filters is not None:
         probed = probe_bloom(candidates, filters, cfg.bloom)
         definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed_new = maybe.join(
-            frontier.select("url_hash"), "url_hash", "left_anti"
-        )
+        confirmed_new = maybe.join(seen_keys, "url_hash", "left_anti")
         new_rows = definite_new.unionByName(confirmed_new)
     else:
-        new_rows = candidates.join(
-            frontier.select("url_hash"), "url_hash", "left_anti"
-        )
+        new_rows = candidates.join(seen_keys, "url_hash", "left_anti")
     from pyspark.sql import Observation
 
     obs_new = Observation()

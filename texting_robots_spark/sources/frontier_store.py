@@ -207,6 +207,30 @@ class FrontierStore:
             full = self.merge_frontier(full, delta)
         return full
 
+    def read_keys(self, spark: SparkSession) -> DataFrame:
+        """All url_hash keys present in the frontier (base + deltas).
+
+        Membership-only view for seen-checks: deltas UPSERT rows and
+        never delete keys (recrawl compaction rewrites the BASE), so the
+        key set is the plain union of the base's and every delta's
+        url_hash column — no merge-on-read join chain. The scan is
+        column-pruned to url_hash (at scale: one parquet column instead
+        of k anti-joins over full rows). May contain duplicates; fine
+        for anti-join/semi-join probes."""
+        manifest = self._read_manifest()
+        base = manifest.get("base", manifest["current"])
+        paths = [self._snap_dir(base, "frontier")] if base >= 0 else []
+        paths += [self._snap_dir(d, "delta") for d in manifest.get("deltas", [])]
+        if not paths:
+            return spark.createDataFrame([], "url_hash long")
+        # per-path reads (base carries partition_salt, deltas don't —
+        # select before union so the schemas never have to line up)
+        out = None
+        for p in paths:
+            part = spark.read.parquet(p).select("url_hash")
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def read_filters(self, spark: SparkSession) -> Optional[DataFrame]:
         """Base filters plus all delta increments (union of rows; the
         bloom probe ORs multiple rows per partition, so increments need

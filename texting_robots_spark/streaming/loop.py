@@ -29,9 +29,13 @@ fetch set AND the identical discovered-URL set (pinned in pytest).
 Scale notes: the seen set is bounded group state (n_bits/8 bytes per
 hash partition); pending/host_state are O(frontier backlog) and
 O(active hosts) parquet tables; the feedback file is O(per-step
-discoveries). A bloom false positive drops a genuinely-new URL (no
-exact anti-join backstop in the stream) — size cfg.bloom.n_bits for the
-expected crawl volume, same math as operators/seen.py.
+discoveries). The stateful bloom runs in ANNOTATE mode (emit_maybe):
+maybe_seen rows go through an exact anti-join against the append-only
+``seen/`` side table (url_hash of every row ever admitted) inside
+foreachBatch — the same bloom-prefilter + exact-backstop shape as the
+batch superstep (operators/seen.py), so a bloom false positive can NOT
+drop a genuinely-new URL at any n_bits. The anti-join probe side is
+only the maybe_seen slice (FPR + true repeats), not the stream.
 """
 
 from __future__ import annotations
@@ -101,6 +105,7 @@ def run_stream_crawl(
     ckpt = os.path.join(workdir, "ckpt")
     pending_dir = os.path.join(workdir, "pending")
     hstate_dir = os.path.join(workdir, "host_state")
+    seen_dir = os.path.join(workdir, "seen")
     discovered = os.path.join(workdir, "discovered")
     os.makedirs(src, exist_ok=True)
     os.makedirs(out, exist_ok=True)
@@ -123,9 +128,25 @@ def run_stream_crawl(
         step = state["step"]
         state["step"] = step + 1
         t0 = step * cfg.step_seconds
-        fresh = batch_df.select(
-            "url_hash", "url", "host", "priority", "depth"
+        # exact backstop (batch superstep §6): rows the bloom flags
+        # maybe_seen are re-checked against the append-only seen table —
+        # only the maybe slice pays the join, and a false positive can't
+        # drop a new URL. definite-new rows skip the exact check.
+        probed = batch_df.select(
+            "url_hash", "url", "host", "priority", "depth", "maybe_seen"
         )
+        definite = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+        if os.path.exists(seen_dir):
+            rescued = maybe.join(
+                spark.read.parquet(seen_dir), "url_hash", "left_anti"
+            )
+        else:
+            rescued = maybe
+        fresh = definite.unionByName(rescued).cache()
+        # record this batch's admissions BEFORE they can re-enter the
+        # loop via feedback (append-only url_hash log)
+        fresh.select("url_hash").coalesce(1).write.mode("append").parquet(seen_dir)
         if os.path.exists(pending_dir):
             cands = spark.read.parquet(pending_dir).unionByName(fresh)
         else:
@@ -193,6 +214,7 @@ def run_stream_crawl(
         new_hs.write.mode("overwrite").parquet(tmp_h)
         scheduled.unpersist()
         gated.unpersist()
+        fresh.unpersist()
         _swap_dir(tmp_p, pending_dir)
         _swap_dir(tmp_h, hstate_dir)
         state["done"] = step + 1  # completion sentinel (stop-safety)
@@ -202,7 +224,7 @@ def run_stream_crawl(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    deduped = stream_seen_filter(stream, cfg.bloom)
+    deduped = stream_seen_filter(stream, cfg.bloom, emit_maybe=True)
     query = (
         deduped.writeStream.foreachBatch(_process)
         .option("checkpointLocation", ckpt)

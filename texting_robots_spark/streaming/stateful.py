@@ -138,18 +138,30 @@ SEEN_INPUT_DDL = (
 SEEN_OUTPUT_DDL = SEEN_INPUT_DDL
 
 
-def stream_seen_filter(candidates: DataFrame, cfg) -> DataFrame:
+def stream_seen_filter(
+    candidates: DataFrame, cfg, emit_maybe: bool = False
+) -> DataFrame:
     """Streaming first-seen filter: the bloom bits of each url_hash
     partition live in GROUP STATE (``n_bits/8`` bytes per partition,
     bounded by config — not by stream length) and are OR-updated as
-    batches arrive. Emits only rows whose hash probes clean; the batch
-    engine's exact-anti-join backstop does not exist here, so a bloom
-    false positive DROPS a genuinely-new URL — size ``cfg.n_bits`` for
-    the expected stream volume (FPR ~ (1-exp(-kn/m))^k, same math as the
-    batch filter in operators/seen.py, which this reuses bit-for-bit).
+    batches arrive.
+
+    ``emit_maybe=False`` (drop mode): emits only rows whose hash probes
+    clean. A bloom false positive DROPS a genuinely-new URL — size
+    ``cfg.n_bits`` for the expected stream volume (FPR ~
+    (1-exp(-kn/m))^k, same math as the batch filter in
+    operators/seen.py, which this reuses bit-for-bit).
+
+    ``emit_maybe=True`` (annotate mode): emits EVERY in-batch-unique row
+    with a ``maybe_seen`` flag instead of dropping, exactly like the
+    batch engine's ``probe_bloom`` — so a downstream exact anti-join
+    (streaming/loop.py's seen side table) can rescue false positives.
+    With the backstop the stream loses NO URLs, matching the batch
+    superstep's semantics at any bloom size.
 
     Within a batch, duplicates collapse to the first occurrence by
-    (step, url_hash) — deterministic regardless of arrival order.
+    (step, url_hash) — deterministic regardless of arrival order (this
+    in-batch dedup is exact, not probabilistic, in both modes).
     ``cfg`` is an operators.seen.BloomConfig.
     """
     from pyspark.sql import functions as F
@@ -160,6 +172,7 @@ def stream_seen_filter(candidates: DataFrame, cfg) -> DataFrame:
     from ..operators.seen import _bit_positions
 
     out_cols = ["url_hash", "url", "host", "priority", "depth", "step"]
+    out_ddl = SEEN_OUTPUT_DDL + (", maybe_seen boolean" if emit_maybe else "")
 
     def dedup(key, pdfs, state):
         rows = pd.concat(list(pdfs), ignore_index=True)
@@ -181,7 +194,10 @@ def stream_seen_filter(candidates: DataFrame, cfg) -> DataFrame:
         for pos in _bit_positions(fh, cfg):
             np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         state.update((bits.tobytes(),))
-        if len(fresh):
+        if emit_maybe:
+            if len(rows):
+                yield rows[out_cols].assign(maybe_seen=maybe)
+        elif len(fresh):
             yield fresh[out_cols]
 
     keyed = candidates.withColumn(
@@ -190,7 +206,7 @@ def stream_seen_filter(candidates: DataFrame, cfg) -> DataFrame:
     )
     return keyed.groupBy("partition_id").applyInPandasWithState(
         dedup,
-        outputStructType=SEEN_OUTPUT_DDL,
+        outputStructType=out_ddl,
         stateStructType="bits binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
