@@ -302,6 +302,23 @@ def _quality_features(spark, sf_dir):
     )
 
 
+def _repetition_features(spark, sf_dir):
+    """Gopher/RefinedWeb-style repetition quality signals (duplicate
+    token/bigram/trigram fractions) — native expressions end to end
+    (operators/text.py:repetition_features), replayed in DuckDB with
+    range/list_transform/list_distinct over the same \\x1f-joined
+    n-gram strings."""
+    from texting_robots_spark.operators.text import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+    )
+
+
 def _token_count_by_lang(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
@@ -897,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_consecutive": _ngram_jaccard_consecutive,
         "quality_features": _quality_features,
+        "repetition_features": _repetition_features,
         "token_count_by_lang": _token_count_by_lang,
         "similarity_topk": _similarity_topk,
         # sketches + robots derivations (oracled via md5 variants /
@@ -1259,6 +1277,42 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(char_len - len(ts) + 1 AS DOUBLE)
                          / greatest(len(ts), 1), 6) AS mean_token_len
             FROM toks
+        """,
+        "repetition_features": """
+            -- Gopher/RefinedWeb repetition filters: dup n-gram
+            -- fractions over \\x1f-joined token slices (the exact
+            -- strings operators/text.py:repetition_features builds)
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id, ts, len(ts) AS n,
+                       CASE WHEN len(ts) >= 2 THEN list_transform(
+                           range(1, len(ts)),
+                           i -> array_to_string(ts[i:i+1], chr(31)))
+                       ELSE [] END AS big,
+                       CASE WHEN len(ts) >= 3 THEN list_transform(
+                           range(1, len(ts) - 1),
+                           i -> array_to_string(ts[i:i+2], chr(31)))
+                       ELSE [] END AS tri
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   round(CASE WHEN n > 0 THEN
+                       CAST(n - len(list_distinct(ts)) AS DOUBLE) / n
+                       ELSE 0.0 END, 6) AS dup_token_frac,
+                   round(CASE WHEN len(big) > 0 THEN
+                       CAST(len(big) - len(list_distinct(big)) AS DOUBLE)
+                           / len(big)
+                       ELSE 0.0 END, 6) AS dup_bigram_frac,
+                   round(CASE WHEN len(tri) > 0 THEN
+                       CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                           / len(tri)
+                       ELSE 0.0 END, 6) AS dup_trigram_frac
+            FROM g
         """,
         "token_count_by_lang": """
             SELECT lang,

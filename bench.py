@@ -154,9 +154,19 @@ def main():
         bloom=BloomConfig(n_partitions=cpus, n_bits=1 << 22, n_hashes=4),
     )
     store = FrontierStore(tempfile.mkdtemp(prefix="trs_bench_"), n_buckets=cpus)
+    # AQE off for the superstep only: the crawl plan handles skew
+    # explicitly (salted two-level top-k, explicit broadcasts, bucketed
+    # seen-set), so adaptive re-planning cannot change this plan — it
+    # only charges a stage materialization per shuffle (~30/step).
+    # Interleaved A/B at sandbox scale: AQE off wins every pair, ~20-25%
+    # (49.9->35.9s, 65.8->50.9s; a 3x gap appeared once under VM load),
+    # identical 22,094-URL output (NOTES_r3). The sf queries below keep
+    # AQE on — they rely on its join planning.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.time()
     metrics = run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3)
     dt = time.time() - t0
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     n_processed = sum(m["scheduled"] + m["new_urls"] for m in metrics)
     queries["crawl_3_supersteps"] = round(dt, 3)
     rates["frontier_urls_per_sec"] = round(n_processed / dt, 1)

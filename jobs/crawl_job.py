@@ -86,6 +86,11 @@ def main() -> None:
         from texting_robots_spark.operators.gate import RulesTable, build_rules
 
         rules = RulesTable(build_rules(robots_df, cfg.agent))
+    # superstep plans handle skew explicitly (salted top-k, explicit
+    # broadcasts); AQE only adds per-stage materialization cost to the
+    # fixed per-step pipeline. Callers who want AQE for OTHER queries in
+    # the same session can re-enable it after the crawl.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.time()
     metrics = run_crawl(
         spark, store, docs_df, robots_df, seeds, cfg, n_steps=args.steps,

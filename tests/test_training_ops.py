@@ -242,3 +242,30 @@ def test_simhash_numpy_matches_native_expression(spark):
             for r in simhash(docs, bits=bits, base_hash=base_hash, impl="numpy").collect()
         }
         assert a == b
+
+
+def test_repetition_features_flag_boilerplate(spark):
+    from texting_robots_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            ("loop", "spam ham " * 30),            # 2 distinct tokens, 2 distinct bigrams
+            ("clean", " ".join(f"w{i}" for i in range(60))),  # all unique
+            ("tiny", "one"),                        # no bigrams/trigrams
+            ("empty", "   "),                       # no tokens at all
+        ],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    loop, clean = rows["loop"], rows["clean"]
+    assert loop["n_tokens"] == 60 and clean["n_tokens"] == 60
+    # "spam ham"*30: 60 tokens, 2 distinct -> 58/60; 59 bigrams, 2 distinct
+    assert abs(loop["dup_token_frac"] - 58 / 60) < 1e-6
+    assert abs(loop["dup_bigram_frac"] - 57 / 59) < 1e-6
+    assert abs(loop["dup_trigram_frac"] - 56 / 58) < 1e-6
+    assert clean["dup_token_frac"] == 0.0
+    assert clean["dup_bigram_frac"] == 0.0
+    assert rows["tiny"]["n_tokens"] == 1
+    assert rows["tiny"]["dup_bigram_frac"] == 0.0
+    assert rows["empty"]["n_tokens"] == 0
+    assert rows["empty"]["dup_token_frac"] == 0.0

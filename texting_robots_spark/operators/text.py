@@ -20,7 +20,13 @@ from pyspark.sql import types as T
 
 from .dedup import tokenize
 
-__all__ = ["quality_features", "rolling_fingerprint", "lang_id_udf", "add_lang_id"]
+__all__ = [
+    "quality_features",
+    "repetition_features",
+    "rolling_fingerprint",
+    "lang_id_udf",
+    "add_lang_id",
+]
 
 
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -40,6 +46,53 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             (char_len - n + 1).cast("double") / F.greatest(n, F.lit(1)), 6
         ).alias("mean_token_len"),
         char_len.alias("n_chars_measured"),
+    )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals: the fraction of
+    duplicate tokens / word-bigrams / word-trigrams per document (high
+    values flag boilerplate and degenerate generations — standard
+    training-data quality filters from the published Gopher and
+    RefinedWeb pipelines).
+
+    All native expressions, no shuffle, no UDF: n-grams are sep-joined
+    strings over token-array slices (O(tokens) per row with constant
+    n-gram width) deduplicated with ``array_distinct`` — the exact
+    construction DuckDB replays with range/list_transform/list_distinct
+    in the driver's ``repetition_features`` oracle. dup_X_frac =
+    1 - distinct/total, 0.0 when the document has no n-grams of that
+    order. The \\x1f separator is not \\s, so it cannot collide with
+    the whitespace tokenizer's output boundaries in practice.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+
+    def _dup_frac(arr):
+        cnt = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        return F.round(
+            F.when(cnt > 0, (cnt - nd).cast("double") / cnt).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    def _ngrams(order: int):
+        idx = F.sequence(F.lit(1), n - order + 1)
+        arr = F.transform(
+            idx, lambda i: F.concat_ws("\x1f", F.slice(toks, i, order))
+        )
+        return F.when(n >= order, arr).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        _dup_frac(toks).alias("dup_token_frac"),
+        _dup_frac(_ngrams(2)).alias("dup_bigram_frac"),
+        _dup_frac(_ngrams(3)).alias("dup_trigram_frac"),
     )
 
 

@@ -20,6 +20,14 @@ Scale notes:
   sub-ranks first) bounds any single window partition to SALT x k rows
   no matter how hot the host, and AQE skew handling covers the fetch
   join.
+- AQE note: because the skew handling above is explicit, adaptive
+  re-planning changes nothing in this plan while charging a stage
+  materialization per shuffle (~30 stages/step). Run the crawl with
+  spark.sql.adaptive.enabled=false (interleaved A/B at sandbox scale:
+  AQE off wins every pair, ~20-25% wall, bit-identical output);
+  re-enable AQE for ad-hoc queries in the same session. bench.py /
+  jobs/crawl_job.py / the scaling harnesses all scope the setting to
+  the crawl this way.
 - politeness state is a per-host side table (host, next_allowed)
   checkpointed with each snapshot — never a per-row update across the
   10^10-row frontier, never a driver-side blob.

@@ -128,9 +128,17 @@ def worker(cpus: int) -> None:
     store = FrontierStore(
         tempfile.mkdtemp(prefix=f"trs_scale_{cpus}_"), n_buckets=max(cpus, 8)
     )
+    # AQE off for the superstep only: the crawl plan handles skew
+    # explicitly (salted top-k, explicit broadcasts), so adaptive
+    # re-planning adds per-stage materialization cost without changing
+    # the plan (~20-25% wall in interleaved A/B at sandbox scale,
+    # identical output — NOTES_r3); both cluster sizes run identically
+    # so the comparison is apples-to-apples either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.time()
     metrics = run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3)
     crawl_dt = time.time() - t0
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     n_urls = sum(m["scheduled"] + m["new_urls"] for m in metrics)
 
     print(
