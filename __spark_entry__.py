@@ -123,7 +123,15 @@ def entry(spark: SparkSession) -> DataFrame:
         bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
     )
     store = FrontierStore(tempfile.mkdtemp(prefix="trs_entry_"), n_buckets=8)
-    run_crawl(spark, store, docs, robots_raw, seeds, cfg, n_steps=3)
+    # superstep plans carry explicit skew handling; AQE only adds a
+    # stage materialization per shuffle here (plans/superstep.py AQE
+    # note) — scope it off for the crawl, restore for whatever runs next
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        run_crawl(spark, store, docs, robots_raw, seeds, cfg, n_steps=3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return crawl_order(spark, store)
 
 
@@ -398,15 +406,20 @@ def _crawl_superstep(spark, sf_dir):
         default_delay=0.5,
         bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
     )
-    run_crawl(
-        spark,
-        store,
-        synth_documents_df(spark, documents),
-        synth_robots_df(spark, robots),
-        seeds,
-        cfg,
-        n_steps=3,
-    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        run_crawl(
+            spark,
+            store,
+            synth_documents_df(spark, documents),
+            synth_robots_df(spark, robots),
+            seeds,
+            cfg,
+            n_steps=3,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return crawl_order(spark, store)
 
 
