@@ -153,3 +153,46 @@ def test_near_dup_lsh_matches_pre_narrowing_output(spark):
     # rows the wide pre-narrowing plan carried)
     assert lsh <= exact
     assert len(lsh) > 0  # recall bounds are pinned in test_training_ops
+
+
+def test_read_keys_is_column_pruned_union(spark, tmp_path):
+    """The seen-set membership probe (FrontierStore.read_keys) must be a
+    plain union of url_hash-only parquet scans — no merge-on-read join
+    chain, and every scan pruned to the single key column (at 10^10 rows
+    this is the difference between reading one column and executing k
+    anti-joins of full frontier rows per superstep)."""
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+    from texting_robots_spark.sources.synth import (
+        synth_documents_df,
+        synth_robots_df,
+        synth_universe,
+    )
+
+    documents, robots, seeds = synth_universe(n_hosts=5, n_docs=80, n_seeds=8, seed=3)
+    store = FrontierStore(str(tmp_path / "store"), n_buckets=4)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 14, n_hashes=4),
+    )
+    run_crawl(
+        spark,
+        store,
+        synth_documents_df(spark, documents),
+        synth_robots_df(spark, robots),
+        seeds,
+        cfg,
+        n_steps=2,  # base + 2 deltas in the chain
+    )
+    keys = store.read_keys(spark)
+    plan = _plan(keys)
+    assert "Join" not in plan  # membership = union of keys, never a join
+    assert "ReadSchema: struct<url_hash:bigint>" in plan
+    # no full-row schema leaks into any scan
+    assert "url:string" not in plan.replace("url_hash", "")
+    # and it is equivalent to the merged frontier's key set
+    merged = {r["url_hash"] for r in store.read_frontier(spark).select("url_hash").collect()}
+    assert {r["url_hash"] for r in keys.collect()} == merged
