@@ -512,6 +512,64 @@ def _ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _ascii_media(spark, sf_dir):
+    """The driver queries' media table: refs + ASCII blob content derive
+    from doc_id arithmetic so DuckDB can rebuild the identical bytes
+    (content = md5 hex of the ref repeated 8x = 256 ASCII bytes)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    ref = F.concat(
+        F.lit("media://"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".bin"),
+    )
+    tsel = F.conv(F.substring(F.md5(ref), 1, 8), 16, 10).cast("long") % 3
+    return docs.select(
+        ref.alias("media_ref"),
+        F.encode(F.repeat(F.md5(ref), 8), "UTF-8").alias("content"),
+        F.when(tsel == 0, "image/png")
+        .when(tsel == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+    )
+
+
+def _media_resize(spark, sf_dir):
+    """Image-resize plumbing through the REAL mapInPandas kernel slot
+    (operators/multimodal.py:resize_media, sha256 stand-in); the oracle
+    replays the resized payload byte-for-byte in SQL."""
+    from texting_robots_spark.operators.multimodal import resize_media
+
+    media = _ascii_media(spark, sf_dir).where(F.col("media_type") == "image/png")
+    out = resize_media(media, width=32, height=32)
+    return out.select(
+        "media_ref",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.decode("content", "UTF-8").alias("resized_digest"),
+    )
+
+
+def _media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (variable fan-out mapInPandas —
+    operators/multimodal.py:sample_frames): 256-byte stand-in blobs at
+    frame_stride=64 yield 4 frames per video; the oracle replays the
+    per-frame sha256 digests via UNNEST(range(...))."""
+    from texting_robots_spark.operators.multimodal import sample_frames
+
+    media = _ascii_media(spark, sf_dir).where(F.col("media_type") == "video/mp4")
+    out = sample_frames(media, frame_stride=64, max_frames=16)
+    return out.select(
+        "media_ref",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.decode("frame", "UTF-8").alias("frame_digest"),
+    )
+
+
 def _media_features(spark, sf_dir):
     """Multimodal decode plumbing over the documents table: media refs +
     ASCII blob content derive from doc_id arithmetic (so DuckDB can
@@ -522,27 +580,7 @@ def _media_features(spark, sf_dir):
     comparing a rounded feature checksum."""
     from texting_robots_spark.operators.multimodal import extract_media_features
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
-    ref = F.concat(
-        F.lit("media://"),
-        F.col("source"),
-        F.lit("/"),
-        F.col("doc_id").cast("string"),
-        F.lit(".bin"),
-    )
-    tsel = F.conv(F.substring(F.md5(ref), 1, 8), 16, 10).cast("long") % 3
-    media = docs.select(
-        ref.alias("media_ref"),
-        # ASCII blob: the md5 hex of the ref repeated 8x (256 bytes)
-        F.encode(F.repeat(F.md5(ref), 8), "UTF-8").alias("content"),
-        F.when(tsel == 0, "image/png")
-        .when(tsel == 1, "audio/wav")
-        .otherwise("video/mp4")
-        .alias("media_type"),
-        F.lit(64).cast("int").alias("width"),
-        F.lit(64).cast("int").alias("height"),
-    )
-    feats = extract_media_features(media, dim=8)
+    feats = extract_media_features(_ascii_media(spark, sf_dir), dim=8)
     checksum = F.round(
         F.aggregate(
             F.transform("feature", lambda x: x.cast("double")),
@@ -948,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "media_features": _media_features,
+        "media_resize": _media_resize,
+        "media_frame_sample": _media_frame_sample,
     }
 
 
@@ -1597,6 +1637,58 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql,
         "ann_ivf_topk": _ann_ivf_sql,
         "media_features": _media_sql,
+        "media_resize": """
+            -- resize stand-in kernel replay: sha256(content || '|32x32')
+            -- over the same ASCII blobs (multimodal.py:resize_media)
+            WITH m AS (
+                SELECT CONCAT('media://', source, '/',
+                              CAST(doc_id AS VARCHAR), '.bin') AS media_ref
+                FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+                SELECT media_ref,
+                       CASE CAST(CAST(CONCAT('0x', substr(md5(media_ref), 1, 8))
+                                 AS BIGINT) % 3 AS INT)
+                         WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS media_type,
+                       repeat(md5(media_ref), 8) AS content
+                FROM m
+            )
+            SELECT media_ref, media_type,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height,
+                   sha256(content || '|32x32') AS resized_digest
+            FROM t WHERE media_type = 'image/png'
+        """,
+        "media_frame_sample": """
+            -- frame-sample stand-in replay: 256-byte blobs / stride 64
+            -- -> 4 frames, digest = sha256(content || '#' || idx)
+            -- (multimodal.py:sample_frames)
+            WITH m AS (
+                SELECT CONCAT('media://', source, '/',
+                              CAST(doc_id AS VARCHAR), '.bin') AS media_ref
+                FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+                SELECT media_ref,
+                       CASE CAST(CAST(CONCAT('0x', substr(md5(media_ref), 1, 8))
+                                 AS BIGINT) % 3 AS INT)
+                         WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS media_type,
+                       repeat(md5(media_ref), 8) AS content
+                FROM m
+            ), v AS (
+                SELECT media_ref, content,
+                       UNNEST(range(0, CAST(least(greatest(
+                           len(content) // 64, 1), 16) AS BIGINT))) AS frame_idx
+                FROM t WHERE media_type = 'video/mp4'
+            )
+            SELECT media_ref,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   sha256(content || '#' || CAST(frame_idx AS VARCHAR))
+                       AS frame_digest
+            FROM v
+        """,
         "doc_fingerprints": """
             WITH toks AS (
                 SELECT doc_id, md5(text) AS md5_fingerprint,

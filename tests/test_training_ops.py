@@ -269,3 +269,45 @@ def test_repetition_features_flag_boilerplate(spark):
     assert rows["tiny"]["dup_bigram_frac"] == 0.0
     assert rows["empty"]["n_tokens"] == 0
     assert rows["empty"]["dup_token_frac"] == 0.0
+
+
+def test_media_resize_and_frame_sample_plumbing(spark, documents):
+    import pytest as _pytest
+
+    from texting_robots_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media_df,
+    )
+    from texting_robots_spark.sources.synth import synth_documents_df, synth_universe
+
+    docs, _, _ = synth_universe(n_hosts=4, n_docs=60, seed=5)
+    media = synth_media_df(spark, synth_documents_df(spark, docs)).cache()
+    n_media = media.count()
+    assert n_media > 0
+
+    resized = resize_media(media, width=32, height=24)
+    rows = resized.collect()
+    # 1:1 fan-out, fixed target dims, deterministic 64-byte hex payload
+    assert len(rows) == n_media
+    assert all(r["width"] == 32 and r["height"] == 24 for r in rows)
+    assert all(len(bytes(r["content"])) == 64 for r in rows)
+    again = {r["media_ref"]: bytes(r["content"]) for r in resized.collect()}
+    assert {r["media_ref"]: bytes(r["content"]) for r in rows} == again
+
+    frames = sample_frames(media, frame_stride=32, max_frames=3).cache()
+    per_ref = {
+        r["media_ref"]: r["n"]
+        for r in frames.groupBy("media_ref").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {r["media_ref"]: len(bytes(r["content"])) for r in media.collect()}
+    for ref, n in per_ref.items():
+        assert n == min(max(sizes[ref] // 32, 1), 3)
+    # frame indices are dense from 0 and payloads distinct per frame
+    one = frames.where(F.col("media_ref") == rows[0]["media_ref"]).collect()
+    assert sorted(r["frame_idx"] for r in one) == list(range(len(one)))
+    assert len({bytes(r["frame"]) for r in one}) == len(one)
+
+    # the NotImplementedError slot where real codecs plug in
+    with _pytest.raises(Exception, match="NotImplementedError|real media"):
+        resize_media(media, 8, 8, decode_stub=False).collect()

@@ -25,13 +25,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["MEDIA_DDL", "synth_media_df", "extract_media_features"]
+__all__ = [
+    "MEDIA_DDL",
+    "synth_media_df",
+    "extract_media_features",
+    "resize_media",
+    "sample_frames",
+]
 
 MEDIA_DDL = (
     "media_ref string, content binary, media_type string, width int, height int"
 )
 
 FEATURES_DDL = "media_ref string, media_type string, n_bytes long, feature array<float>"
+
+RESIZED_DDL = (
+    "media_ref string, media_type string, width int, height int, content binary"
+)
+
+FRAMES_DDL = "media_ref string, media_type string, frame_idx int, frame binary"
 
 
 def synth_media_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -94,3 +106,97 @@ def extract_media_features(
             )
 
     return media.mapInPandas(decode_batches, FEATURES_DDL)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas media resize plumbing (image resize / video thumbnail).
+
+    Same contract as ``extract_media_features``: the Spark side — Arrow
+    batching, schema, one output row per input row — is real; the pixel
+    kernel is a stub. With ``decode_stub=True`` the "resized" payload is
+    the deterministic sha256 hex of (content || '|WxH') as ASCII bytes,
+    which the driver's ``media_resize`` DuckDB oracle replays exactly;
+    ``decode_stub=False`` raises where a real decoder (PIL/ffmpeg)
+    slots in. Callers filter to the media types their kernel handles.
+    """
+
+    tag = f"|{width}x{height}".encode()
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires codec libraries not present "
+                    "in this environment; plug a decoder in here"
+                )
+            resized = [
+                hashlib.sha256(bytes(c) + tag).hexdigest().encode()
+                if c is not None
+                else None
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "content": resized,
+                }
+            )
+
+    return media.mapInPandas(_batches, RESIZED_DDL)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_stride: int = 64,
+    max_frames: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """mapInPandas video frame-sampling plumbing: one output row per
+    sampled frame (variable fan-out per input row — exactly what a real
+    frame sampler produces, which is why this is mapInPandas and not a
+    1:1 pandas UDF).
+
+    n_frames = clamp(len(content) // frame_stride, 1, max_frames); the
+    stub frame payload is sha256(content || '#' || idx) hex as ASCII,
+    replayed by the ``media_frame_sample`` DuckDB oracle. A real
+    implementation replaces the digest with decoded frame bytes and
+    frame_stride with a timestamp stride.
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires codec libraries not present "
+                    "in this environment; plug a decoder in here"
+                )
+            refs, types, idxs, frames = [], [], [], []
+            for ref, mt, c in zip(
+                pdf["media_ref"], pdf["media_type"], pdf["content"]
+            ):
+                if c is None:
+                    continue
+                blob = bytes(c)
+                n = min(max(len(blob) // frame_stride, 1), max_frames)
+                for i in range(n):
+                    refs.append(ref)
+                    types.append(mt)
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.sha256(blob + b"#%d" % i).hexdigest().encode()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "media_type": types,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(_batches, FRAMES_DDL)
