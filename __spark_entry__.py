@@ -905,6 +905,48 @@ def _superstep_one_step(spark, sf_dir):
     return done.unionByName(denied).unionByName(new_rows)
 
 
+def _sitemap_seed_frontier(spark, sf_dir):
+    """Sitemap-driven frontier seeding: arithmetic robots.txt bodies
+    (one host-local sitemap + one SHARED cdn sitemap per host) go
+    through the REAL parse UDF (build_rules — ordered global sitemap
+    collection, reference lib.rs:430-437 / SURVEY A8), then
+    ``sitemap_seeds`` explodes, canonicalizes, and url_hash-dedups them
+    into seed rows. The shared cdn sitemaps collapse across hosts —
+    exactly the cross-host dedup link candidates get. md5-twin hashing
+    makes the whole path one DuckDB replay."""
+    from texting_robots_spark.plans.superstep import sitemap_seeds
+    from texting_robots_spark.operators.gate import build_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    hidx = F.col("doc_id") % 25
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nSitemap: https://"),
+        host,
+        F.lit("/sitemap.xml\nSitemap: https://cdn.example/sm/"),
+        (hidx % 7).cast("string"),
+        F.lit(".xml\n"),
+    )
+    robots_raw = (
+        docs.select(host.alias("host"), body.alias("_b"))
+        .distinct()
+        .select("host", F.encode("_b", "UTF-8").alias("body"))
+    )
+    seeds = sitemap_seeds(build_rules(robots_raw, "TRSBot"), base_hash="md5")
+    return seeds.select(
+        "url",
+        "host",
+        "priority",
+        F.col("depth").cast("long").alias("depth"),
+        "state",
+        "not_before",
+    )
+
+
 def _rank_orders_window(spark, sf_dir):
     """rank/dense_rank/row_number with deterministic tie-break — the
     frontier's per-host priority ordering shape."""
@@ -983,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_superstep": _crawl_superstep,
         "schedule_step": _schedule_step,
         "superstep_one_step": _superstep_one_step,
+        "sitemap_seed_frontier": _sitemap_seed_frontier,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "media_features": _media_features,
@@ -1633,6 +1676,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'queued', url, host, CAST(depth AS BIGINT),
                    round(1.0 / (1.0 + depth), 6), 0.0
             FROM newr
+        """,
+        "sitemap_seed_frontier": """
+            -- sitemap seeding replay: every host contributes its local
+            -- sitemap + a shared cdn sitemap; seeds dedup on the url
+            -- (url_hash is injective over these constructed urls)
+            WITH h AS (
+                SELECT DISTINCT
+                       source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example' AS host,
+                       doc_id % 25 % 7 AS cdx
+                FROM documents
+            ), u AS (
+                SELECT 'https://' || host || '/sitemap.xml' AS url,
+                       host AS uhost
+                FROM h
+                UNION ALL
+                SELECT 'https://cdn.example/sm/' || CAST(cdx AS VARCHAR)
+                           || '.xml',
+                       'cdn.example'
+                FROM h
+            )
+            SELECT min(url) AS url, min(uhost) AS host,
+                   1.0 AS priority, CAST(0 AS BIGINT) AS depth,
+                   'queued' AS state, 0.0 AS not_before
+            FROM u
+            GROUP BY url
         """,
         "ann_lsh_topk": _ann_lsh_sql,
         "ann_ivf_topk": _ann_ivf_sql,

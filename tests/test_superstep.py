@@ -140,3 +140,37 @@ def test_resume_from_checkpoint_matches_straight_run(
     a = sorted(map(tuple, crawl_order(spark, s1).collect()))
     b = sorted(map(tuple, crawl_order(spark, s2b).collect()))
     assert a == b
+
+
+def test_sitemap_seeds_dedup_and_merge_into_store(spark, tmp_path):
+    """A8 -> frontier: parser-collected sitemaps become seed rows;
+    shared (cdn) sitemaps collapse across hosts; the output schema
+    merges straight into the frontier store."""
+    from texting_robots_spark.operators.gate import build_rules
+    from texting_robots_spark.plans.superstep import sitemap_seeds
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+
+    bodies = [
+        (
+            f"h{i}.example",
+            bytearray(
+                f"User-agent: *\nDisallow: /x\n"
+                f"Sitemap: https://h{i}.example/sitemap.xml\n"
+                f"Sitemap: https://cdn.example/shared.xml\n".encode()
+            ),
+        )
+        for i in range(5)
+    ]
+    rules = build_rules(
+        spark.createDataFrame(bodies, "host string, body binary"), "TRSBot"
+    )
+    seeds = sitemap_seeds(rules)
+    rows = seeds.collect()
+    urls = {r["url"] for r in rows}
+    # 5 per-host sitemaps + ONE collapsed shared cdn sitemap
+    assert len(rows) == 6
+    assert "https://cdn.example/shared.xml" in urls
+    assert all(r["state"] == "queued" and r["depth"] == 0 for r in rows)
+    store = FrontierStore(str(tmp_path / "s"), n_buckets=2)
+    store.write_snapshot(seeds, meta={"step": -1})
+    assert store.read_frontier(spark).count() == 6

@@ -61,6 +61,7 @@ from ..sources.frontier_store import FrontierStore
 __all__ = [
     "CrawlConfig",
     "seed_frontier",
+    "sitemap_seeds",
     "schedule_batch",
     "link_candidates",
     "frontier_step",
@@ -128,6 +129,36 @@ def seed_frontier(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> Da
         raw.withColumn("url", canonicalize_udf("raw_url"))
         .where(F.col("url").isNotNull())
         .transform(_with_keys)
+        .groupBy("url_hash")
+        .agg(F.min("url").alias("url"), F.min("host").alias("host"))
+        .select(
+            "url_hash",
+            "url",
+            "host",
+            F.lit(1.0).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit("queued").alias("state"),
+            F.lit(0.0).alias("not_before"),
+        )
+    )
+
+
+def sitemap_seeds(rules_df: DataFrame, base_hash: str = "xxhash64") -> DataFrame:
+    """Sitemap-driven seed rows: explode the ordered, globally-collected
+    sitemap lists the robots parser extracts (reference lib.rs:430-437
+    `sitemaps` — SURVEY A8) into canonicalized, deduped frontier seed
+    rows. Cross-host duplicates (shared CDN sitemaps) collapse on
+    url_hash exactly like link candidates do; output schema matches
+    ``seed_frontier`` so the rows MERGE straight into the store.
+
+    ``base_hash='md5'`` is the DuckDB-replayable twin used by the
+    driver's ``sitemap_seed_frontier`` oracle."""
+    urls = rules_df.select(F.explode("sitemaps").alias("raw_url"))
+    return (
+        urls.withColumn("url", canonicalize_udf("raw_url"))
+        .where(F.col("url").isNotNull())
+        .select("url")
+        .transform(lambda df: _with_keys(df, base_hash=base_hash))
         .groupBy("url_hash")
         .agg(F.min("url").alias("url"), F.min("host").alias("host"))
         .select(
