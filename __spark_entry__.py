@@ -698,6 +698,79 @@ def _schedule_step(spark, sf_dir):
     )
 
 
+def _arith_docs_full(keyed_docs, n):
+    """Interleaved-span docs for the superstep oracles: spans = [text,
+    link(seen), media, link(new)] — one link back into the frontier
+    (exercises the maybe_seen -> exact anti-join path), one to a
+    never-seen /new/ URL (definite-new path). ``keyed_docs`` carries
+    (doc_id, url, host); targets are doc_id arithmetic so DuckDB can
+    regenerate the identical link graph."""
+    tgt = keyed_docs.select(
+        F.col("doc_id").alias("_tid"),
+        F.col("url").alias("_turl"),
+        F.col("host").alias("_thost"),
+    )
+    wired = (
+        keyed_docs.select(
+            "doc_id",
+            "url",
+            ((F.col("doc_id") * 7 + 1) % n).alias("_t1"),
+            ((F.col("doc_id") * 13 + 3) % n).alias("_t2"),
+        )
+        .join(
+            F.broadcast(
+                tgt.select(
+                    F.col("_tid").alias("_t1"), F.col("_turl").alias("_seen_url")
+                )
+            ),
+            "_t1",
+        )
+        .join(
+            F.broadcast(
+                tgt.select(
+                    F.col("_tid").alias("_t2"), F.col("_thost").alias("_h2")
+                )
+            ),
+            "_t2",
+        )
+    )
+    new_url = F.concat(
+        F.lit("https://"), F.col("_h2"), F.lit("/new/"), F.col("_t2").cast("string")
+    )
+    _null_s = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("lorem ipsum").alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            F.col("_seen_url").alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            _null_s.alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(2).alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            new_url.alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(3).alias("offset"),
+        ),
+    )
+    return wired.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "url", spans.alias("spans")
+    )
+
+
 def _superstep_one_step(spark, sf_dir):
     """One FULL superstep dataflow — schedule -> robots gate -> fetch
     join -> span link extraction -> canonicalize -> in-batch dedup ->
@@ -799,73 +872,7 @@ def _superstep_one_step(spark, sf_dir):
     scheduled = schedule_batch(eligible, rules.delay_df(), cfg, t0)
     gated = gate(scheduled, rules, with_delay=False)
 
-    # interleaved docs: spans = [text, link(seen), media, link(new)] —
-    # one link back into the frontier (exercises the maybe_seen -> exact
-    # anti-join path), one to a never-seen /new/ URL (definite-new path)
-    tgt = frontier.select(
-        F.col("doc_id").alias("_tid"),
-        F.col("url").alias("_turl"),
-        F.col("host").alias("_thost"),
-    )
-    wired = (
-        frontier.select(
-            "doc_id",
-            "url",
-            ((F.col("doc_id") * 7 + 1) % n).alias("_t1"),
-            ((F.col("doc_id") * 13 + 3) % n).alias("_t2"),
-        )
-        .join(
-            F.broadcast(
-                tgt.select(
-                    F.col("_tid").alias("_t1"), F.col("_turl").alias("_seen_url")
-                )
-            ),
-            "_t1",
-        )
-        .join(
-            F.broadcast(
-                tgt.select(
-                    F.col("_tid").alias("_t2"), F.col("_thost").alias("_h2")
-                )
-            ),
-            "_t2",
-        )
-    )
-    new_url = F.concat(
-        F.lit("https://"), F.col("_h2"), F.lit("/new/"), F.col("_t2").cast("string")
-    )
-    _null_s = F.lit(None).cast("string")
-    spans = F.array(
-        F.struct(
-            F.lit("text").alias("kind"),
-            F.lit("lorem ipsum").alias("text"),
-            _null_s.alias("media_ref"),
-            F.lit(0).alias("offset"),
-        ),
-        F.struct(
-            F.lit("link").alias("kind"),
-            F.col("_seen_url").alias("text"),
-            _null_s.alias("media_ref"),
-            F.lit(1).alias("offset"),
-        ),
-        F.struct(
-            F.lit("media").alias("kind"),
-            _null_s.alias("text"),
-            F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias(
-                "media_ref"
-            ),
-            F.lit(2).alias("offset"),
-        ),
-        F.struct(
-            F.lit("link").alias("kind"),
-            new_url.alias("text"),
-            _null_s.alias("media_ref"),
-            F.lit(3).alias("offset"),
-        ),
-    )
-    docs_full = wired.select(
-        F.col("doc_id").cast("string").alias("doc_id"), "url", spans.alias("spans")
-    )
+    docs_full = _arith_docs_full(frontier, n)
 
     fetched = gated.where(F.col("allowed"))
     fetched_docs = fetched.select("url", "depth").join(docs_full, "url", "inner")
@@ -903,6 +910,89 @@ def _superstep_one_step(spark, sf_dir):
         F.lit(None).cast("double").alias("not_before"),
     )
     return done.unionByName(denied).unionByName(new_rows)
+
+
+def _crawl_two_steps(spark, sf_dir):
+    """Two FULL ``run_crawl`` supersteps against a real FrontierStore —
+    seed snapshot, delta commits, bloom build + increments, host-state
+    checkpoints, merge-on-read reads — hash-oracled on the terminal
+    frontier. This oracles the ITERATIVE engine path itself (the thing
+    ``crawl_superstep`` runs rows-only), made DuckDB-replayable by
+    construction:
+
+    - rules are literal-prefix (gate = CASE over starts_with);
+    - crawl-delays (0.5s for even host groups, 0.25s default) are sized
+      so every eligible row fits its host's allowance — the per-host
+      top-k cut never binds (5 docs/host max), so WHICH rows are
+      fetched is independent of the xxhash64 tie-break order DuckDB
+      cannot compute; ``not_before`` is rank-dependent and excluded;
+    - /new/ URLs carry no documents, so step 2 fetches them without
+      discovering more (the crawl drains in exactly 2 steps);
+    - step-2 outcome per /new/ row is closed-form: its host never
+      blocks (max next_allowed = 5 x 0.5 = 2.5 < t0 = 10) and /new/
+      paths match no Disallow rule.
+    """
+    import tempfile
+
+    from texting_robots_spark.operators.seen import BloomConfig
+    from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+
+    docs0 = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    n = docs0.count()
+    hidx = F.col("doc_id") % 25
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    keyed = docs0.select("doc_id", url.alias("url"), host.alias("host"), hidx.alias("hidx"))
+    dd = (F.col("hidx") % 10).cast("string")
+    delay_line = F.when(
+        F.col("hidx") % 2 == 0, F.lit("Crawl-delay: 0.5\n")
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("User-agent: TRSBot\nDisallow: /p/"),
+        dd,
+        F.lit("\nAllow: /p/"),
+        dd,
+        dd,
+        F.lit("\n"),
+        delay_line,
+    )
+    robots_raw = (
+        keyed.select("host", body.alias("_b"))
+        .distinct()
+        .select("host", F.encode("_b", "UTF-8").alias("body"))
+        .withColumn("status", F.lit(200))
+    )
+    docs_full = _arith_docs_full(keyed, n)
+    seeds = [r["url"] for r in keyed.select("url").collect()]
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=64,
+        step_seconds=10.0,
+        default_delay=0.25,
+        max_depth=50,
+        bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
+    )
+    store = FrontierStore(tempfile.mkdtemp(prefix="trs_two_"), n_buckets=8)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        run_crawl(spark, store, docs_full, robots_raw, seeds, cfg, n_steps=2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return store.read_frontier(spark).select(
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        "state",
+    )
 
 
 def _sitemap_seed_frontier(spark, sf_dir):
@@ -1025,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_superstep": _crawl_superstep,
         "schedule_step": _schedule_step,
         "superstep_one_step": _superstep_one_step,
+        "crawl_two_steps": _crawl_two_steps,
         "sitemap_seed_frontier": _sitemap_seed_frontier,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1676,6 +1767,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'queued', url, host, CAST(depth AS BIGINT),
                    round(1.0 / (1.0 + depth), 6), 0.0
             FROM newr
+        """,
+        "crawl_two_steps": """
+            -- terminal frontier of a full 2-step crawl: originals get
+            -- their literal-prefix gate verdict in step 1; the /new/
+            -- links of FETCHED parents are discovered (depth 1,
+            -- priority 1/(1+1)), deduped, and all fetched in step 2
+            -- (no rule matches /new/, no host blocks, no docs behind
+            -- /new/ so the crawl drains). not_before is rank-dependent
+            -- and excluded by both sides.
+            WITH d AS (
+                SELECT doc_id, source,
+                       doc_id % 25 AS hidx,
+                       CAST(doc_id AS VARCHAR) AS sd,
+                       source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example' AS host
+                FROM documents
+            ), n_docs AS (SELECT count(*) AS n FROM documents
+            ), g AS (
+                SELECT *,
+                       'https://' || host || '/p/' || sd AS url,
+                       CAST(hidx % 10 AS VARCHAR) AS dd
+                FROM d
+            ), verdict AS (
+                SELECT *,
+                       CASE WHEN starts_with(sd, dd || dd) THEN TRUE
+                            WHEN starts_with(sd, dd) THEN FALSE
+                            ELSE TRUE END AS allowed
+                FROM g
+            ), newu AS (
+                SELECT DISTINCT
+                       'https://' || t.host || '/new/'
+                           || CAST(t.doc_id AS VARCHAR) AS url,
+                       t.host AS host
+                FROM verdict v, n_docs
+                JOIN g t ON t.doc_id = (v.doc_id * 13 + 3) % n_docs.n
+                WHERE v.allowed
+            )
+            SELECT url, host, CAST(0 AS BIGINT) AS depth,
+                   1.0 AS priority,
+                   CASE WHEN allowed THEN 'fetched'
+                        ELSE 'disallowed' END AS state
+            FROM verdict
+            UNION ALL
+            SELECT url, host, CAST(1 AS BIGINT), 0.5, 'fetched' FROM newu
         """,
         "sitemap_seed_frontier": """
             -- sitemap seeding replay: every host contributes its local
