@@ -921,17 +921,25 @@ def _crawl_two_steps(spark, sf_dir):
     construction:
 
     - rules are literal-prefix (gate = CASE over starts_with);
-    - crawl-delays (0.5s for even host groups, 0.25s default) are sized
-      so every eligible row fits its host's allowance — the per-host
-      top-k cut never binds (5 docs/host max), so WHICH rows are
-      fetched is independent of the xxhash64 tie-break order DuckDB
-      cannot compute; ``not_before`` is rank-dependent and excluded;
+    - the host count scales with n — ``H = max(25, ceil(n/8))`` — so
+      each host holds at most ceil(n/H) <= 8 docs at EVERY scale
+      factor (H >= n/8 implies n <= 8H). The binding budgets are
+      per_host_k=64 and the even-group allowance floor(10/0.5)=20:
+      8 docs/host sits strictly under both, so the per-host cut never
+      binds and WHICH rows are fetched is independent of the xxhash64
+      tie-break order DuckDB cannot compute; ``not_before`` is
+      rank-dependent and excluded. (Round-3's fixed 25 hosts put
+      20 docs/host at sf0.01 — the allowance bound at exactly 20 and
+      next_allowed = 10.0 == t0, admitted only by the strict '>' in
+      the block check; any larger sf broke the oracle silently.)
     - /new/ URLs carry no documents, so step 2 fetches them without
       discovering more (the crawl drains in exactly 2 steps);
     - step-2 outcome per /new/ row is closed-form: its host never
-      blocks (max next_allowed = 5 x 0.5 = 2.5 < t0 = 10) and /new/
-      paths match no Disallow rule.
+      blocks (max next_allowed = docs/host * 0.5 <= 8*0.5 = 4.0 <
+      t0 = 10, real margin at every sf) and /new/ paths match no
+      Disallow rule.
     """
+    import math
     import tempfile
 
     from texting_robots_spark.operators.seen import BloomConfig
@@ -942,7 +950,8 @@ def _crawl_two_steps(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
     n = docs0.count()
-    hidx = F.col("doc_id") % 25
+    n_hosts = max(25, math.ceil(n / 8))
+    hidx = F.col("doc_id") % n_hosts
     host = F.concat(
         F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
     )
@@ -1775,15 +1784,20 @@ def oracle_sql() -> dict[str, str]:
             -- priority 1/(1+1)), deduped, and all fetched in step 2
             -- (no rule matches /new/, no host blocks, no docs behind
             -- /new/ so the crawl drains). not_before is rank-dependent
-            -- and excluded by both sides.
-            WITH d AS (
+            -- and excluded by both sides. Host count H scales with n
+            -- (max 8 docs/host at every sf) exactly like the Spark
+            -- side, so the politeness/top-k cuts never bind.
+            WITH n_docs AS (SELECT count(*) AS n FROM documents
+            ), hn AS (
+                SELECT GREATEST(25, CAST(ceil(n / 8.0) AS BIGINT)) AS h
+                FROM n_docs
+            ), d AS (
                 SELECT doc_id, source,
-                       doc_id % 25 AS hidx,
+                       doc_id % hn.h AS hidx,
                        CAST(doc_id AS VARCHAR) AS sd,
-                       source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                       source || '-' || CAST(doc_id % hn.h AS VARCHAR)
                            || '.example' AS host
-                FROM documents
-            ), n_docs AS (SELECT count(*) AS n FROM documents
+                FROM documents, hn
             ), g AS (
                 SELECT *,
                        'https://' || host || '/p/' || sd AS url,

@@ -126,3 +126,32 @@ def test_stream_crawl_exact_backstop_survives_tiny_bloom(spark, tmp_path):
         ).parquet(res["src"], res["discovered"]).collect()
     }
     assert discovered == batch_urls
+
+
+def test_prior_epoch_paths_exclude_own_and_later_epochs(spark, tmp_path):
+    """Crash-replay safety of the seen log (round-3 ADVICE, medium): a
+    replayed micro-batch runs under the SAME batchId, so the anti-join
+    read set must exclude its own epoch partition (its possibly-half-
+    committed rows) — otherwise the replay drops its own URLs forever.
+    Also: empty epoch dirs (crash between mkdir and file commit) are
+    skipped, and re-writing an epoch is idempotent overwrite."""
+    import os
+
+    from texting_robots_spark.streaming.loop import _prior_epoch_paths
+
+    seen = str(tmp_path / "seen")
+    df = spark.range(5).select(F.col("id").alias("url_hash"))
+    for epoch in (0, 1, 3):
+        df.write.mode("overwrite").parquet(os.path.join(seen, f"epoch={epoch}"))
+    os.makedirs(os.path.join(seen, "epoch=2"))  # crashed before commit
+
+    # batch 3 replaying: must see ONLY epochs 0 and 1 — not its own
+    # epoch (3), not the empty dir (2)
+    got = _prior_epoch_paths(seen, 3)
+    assert [os.path.basename(p) for p in got] == ["epoch=0", "epoch=1"]
+    # first batch: nothing prior
+    assert _prior_epoch_paths(seen, 0) == []
+    # epoch overwrite is idempotent: same rows after a double write
+    df.write.mode("overwrite").parquet(os.path.join(seen, "epoch=1"))
+    rows = spark.read.parquet(*_prior_epoch_paths(seen, 2)).count()
+    assert rows == 10  # epochs 0+1, 5 rows each — no append duplication

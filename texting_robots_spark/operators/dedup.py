@@ -42,13 +42,19 @@ _MH_A = [0x9E3779B1 | 1, 0x85EBCA77 | 1, 0xC2B2AE3D | 1, 0x27D4EB2F | 1]
 _MH_B = [0x165667B1, 0xD3A2646C, 0xFD7046C5, 0xB55A4F09]
 _MERSENNE = (1 << 61) - 1
 
+# single source of truth for the word-shingle width: shingles() and BOTH
+# minhash_signature base-hash branches derive from this, so the xxhash64
+# fast path and the md5 oracle twin can never silently sketch different
+# shingle widths (round-3 ADVICE finding).
+SHINGLE_WIDTH = 3
+
 
 def tokenize(text_col) -> Column:
     """Whitespace tokenization with empties dropped (both engines agree)."""
     return F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
 
 
-def shingles(text_col, n: int = 3) -> Column:
+def shingles(text_col, n: int = SHINGLE_WIDTH) -> Column:
     """Distinct word n-gram shingles of the text (native, no UDF).
 
     Built with O(1) ``get`` lookups per shingle — a per-index ``slice``
@@ -116,6 +122,7 @@ def minhash_signature(
     text_col: str = "text",
     n_hashes: int = 4,
     base_hash: str = "xxhash64",
+    shingle_n: int = SHINGLE_WIDTH,
 ) -> DataFrame:
     """Add ``minhash`` array<long>: min over shingles of a_i*h(s)+b_i.
 
@@ -141,7 +148,7 @@ def minhash_signature(
     # keep the base hash in [0, 2^31) so a_i*h + b_i stays inside int64
     # under ANSI arithmetic (a_i < 2^32, h < 2^31 -> product < 2^63)
     if base_hash == "xxhash64":
-        _n = 3  # shingle width (matches shingles()'s default)
+        _n = shingle_n
         staged = docs.withColumn(
             "_th", F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))
         )
@@ -162,7 +169,7 @@ def minhash_signature(
         staged = docs.withColumn(
             "_mh_base",
             F.transform(
-                shingles(F.col(text_col)),
+                shingles(F.col(text_col), shingle_n),
                 lambda s: F.pmod(base_hash_expr(s, base_hash), F.lit((1 << 31) - 1)),
             ),
         )

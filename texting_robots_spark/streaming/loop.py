@@ -30,12 +30,24 @@ Scale notes: the seen set is bounded group state (n_bits/8 bytes per
 hash partition); pending/host_state are O(frontier backlog) and
 O(active hosts) parquet tables; the feedback file is O(per-step
 discoveries). The stateful bloom runs in ANNOTATE mode (emit_maybe):
-maybe_seen rows go through an exact anti-join against the append-only
-``seen/`` side table (url_hash of every row ever admitted) inside
-foreachBatch — the same bloom-prefilter + exact-backstop shape as the
-batch superstep (operators/seen.py), so a bloom false positive can NOT
-drop a genuinely-new URL at any n_bits. The anti-join probe side is
-only the maybe_seen slice (FPR + true repeats), not the stream.
+maybe_seen rows go through an exact anti-join against the ``seen/``
+side table (url_hash of every row ever admitted) inside foreachBatch —
+the same bloom-prefilter + exact-backstop shape as the batch superstep
+(operators/seen.py), so a bloom false positive can NOT drop a
+genuinely-new URL at any n_bits. The anti-join probe side is only the
+maybe_seen slice (FPR + true repeats), not the stream.
+
+Crash-replay safety: the seen log is written per micro-batch to
+``seen/epoch=<batchId>`` with OVERWRITE of that one partition —
+foreachBatch replays a failed batch under the SAME batchId, so the
+rewrite is idempotent — and the anti-join reads only epochs STRICTLY
+BELOW the current batchId. A batch replayed after a crash mid-commit
+therefore never anti-joins against its own half-written hashes (the
+round-3 hazard: append-only log + full-dir read meant a replay dropped
+its own rows permanently). This also removes the read-then-append-to-
+the-same-path ordering hazard: the read set (epochs < b) and the write
+target (epoch = b) are disjoint directories, so correctness no longer
+depends on cache residency of the rescue result.
 """
 
 from __future__ import annotations
@@ -81,6 +93,20 @@ def _swap_dir(src_tmp: str, dest: str) -> None:
     if os.path.exists(dest):
         shutil.rmtree(dest)
     os.replace(src_tmp, dest)
+
+
+def _prior_epoch_paths(seen_dir: str, batch_id: int) -> List[str]:
+    """Seen-log partitions STRICTLY below ``batch_id``. A replayed
+    micro-batch (foreachBatch re-runs a failed batch under the same id)
+    must never anti-join against its own epoch's half-committed rows —
+    excluding ``epoch=batch_id`` (and anything later) makes the
+    read/write sets disjoint and the replay lossless."""
+    return sorted(
+        d
+        for d in glob.glob(os.path.join(seen_dir, "epoch=*"))
+        if int(os.path.basename(d).split("=", 1)[1]) < batch_id
+        and glob.glob(os.path.join(d, "*.parquet"))
+    )
 
 
 def run_stream_crawl(
@@ -129,24 +155,28 @@ def run_stream_crawl(
         state["step"] = step + 1
         t0 = step * cfg.step_seconds
         # exact backstop (batch superstep §6): rows the bloom flags
-        # maybe_seen are re-checked against the append-only seen table —
-        # only the maybe slice pays the join, and a false positive can't
-        # drop a new URL. definite-new rows skip the exact check.
+        # maybe_seen are re-checked against the seen log — only the
+        # maybe slice pays the join, and a false positive can't drop a
+        # new URL. definite-new rows skip the exact check.
         probed = batch_df.select(
             "url_hash", "url", "host", "priority", "depth", "maybe_seen"
         )
         definite = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-        if os.path.exists(seen_dir):
+        prior_epochs = _prior_epoch_paths(seen_dir, batch_id)
+        if prior_epochs:
             rescued = maybe.join(
-                spark.read.parquet(seen_dir), "url_hash", "left_anti"
+                spark.read.parquet(*prior_epochs), "url_hash", "left_anti"
             )
         else:
             rescued = maybe
         fresh = definite.unionByName(rescued).cache()
         # record this batch's admissions BEFORE they can re-enter the
-        # loop via feedback (append-only url_hash log)
-        fresh.select("url_hash").coalesce(1).write.mode("append").parquet(seen_dir)
+        # loop via feedback. OVERWRITE of this batch's own epoch dir =
+        # idempotent under foreachBatch replay (same batch_id).
+        fresh.select("url_hash").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"epoch={batch_id}")
+        )
         if os.path.exists(pending_dir):
             cands = spark.read.parquet(pending_dir).unionByName(fresh)
         else:
