@@ -384,43 +384,126 @@ def _robots_gate_conformance(spark, sf_dir):
 
 
 def _crawl_superstep(spark, sf_dir):
-    """3 supersteps over a deterministic synthetic universe; returns the
-    crawl order (the determinism artifact)."""
+    """Three FULL ``run_crawl`` supersteps against a real FrontierStore
+    — hash-oracled on the terminal frontier (round 3's last rows-only
+    query). Extends the ``crawl_two_steps`` construction one more
+    generation so the DRAIN takes exactly 3 steps:
+
+    - step 1: originals ``/p/<id>`` get their literal-prefix gate
+      verdict; fetched parents discover ``/new/<t2>`` (t2 = (13v+3)%n);
+    - step 2: every ``/new/<t>`` URL carries a doc whose single link
+      span points at ``/new2/<t1>`` (t1 = (7t+1)%n) — fetched /new/
+      rows discover the /new2/ generation;
+    - step 3: ``/new2/`` URLs carry no docs, so they fetch without
+      discovering and the crawl drains.
+
+    Replayability invariants are crawl_two_steps' (see there): host
+    count H = max(25, ceil(n/8)) keeps docs/host <= 8, strictly under
+    per_host_k=64 and the even-group allowance floor(10/0.5)=20, so no
+    scheduling cut ever binds and the fetch SET is independent of the
+    xxhash64 tie-break DuckDB cannot compute; politeness never blocks
+    (per-host next_allowed <= t0_prev + 8*0.5 = t0_prev + 4 < t0_next);
+    no rule matches /new/ or /new2/; ``not_before`` is rank-dependent
+    and excluded. The wildcard-rule 3-step crawl (not SQL-expressible)
+    stays exercised by entry() and the pytest determinism suite.
+    """
+    import math
     import tempfile
 
     from texting_robots_spark.operators.seen import BloomConfig
-    from texting_robots_spark.plans.superstep import CrawlConfig, crawl_order, run_crawl
+    from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
     from texting_robots_spark.sources.frontier_store import FrontierStore
-    from texting_robots_spark.sources.synth import (
-        synth_documents_df,
-        synth_robots_df,
-        synth_universe,
-    )
 
-    documents, robots, seeds = synth_universe(n_hosts=10, n_docs=200, n_seeds=12, seed=42)
-    store = FrontierStore(tempfile.mkdtemp(prefix="trs_q_"), n_buckets=8)
+    docs0 = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    n = docs0.count()
+    n_hosts = max(25, math.ceil(n / 8))
+    hidx = F.col("doc_id") % n_hosts
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    keyed = docs0.select(
+        "doc_id", url.alias("url"), host.alias("host"), hidx.alias("hidx")
+    )
+    dd = (F.col("hidx") % 10).cast("string")
+    delay_line = F.when(
+        F.col("hidx") % 2 == 0, F.lit("Crawl-delay: 0.5\n")
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("User-agent: TRSBot\nDisallow: /p/"),
+        dd,
+        F.lit("\nAllow: /p/"),
+        dd,
+        dd,
+        F.lit("\n"),
+        delay_line,
+    )
+    robots_raw = (
+        keyed.select("host", body.alias("_b"))
+        .distinct()
+        .select("host", F.encode("_b", "UTF-8").alias("body"))
+        .withColumn("status", F.lit(200))
+    )
+    # docs behind /new/<t>: one link span to /new2/<(7t+1)%n> on the
+    # target's host — the second discovery generation
+    tgt = keyed.select(F.col("doc_id").alias("_t1"), F.col("host").alias("_h1"))
+    wired = keyed.select(
+        "doc_id", "host", ((F.col("doc_id") * 7 + 1) % n).alias("_t1")
+    ).join(F.broadcast(tgt), "_t1")
+    _null_s = F.lit(None).cast("string")
+    new2_url = F.concat(
+        F.lit("https://"), F.col("_h1"), F.lit("/new2/"), F.col("_t1").cast("string")
+    )
+    new_spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("second hop").alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("link").alias("kind"),
+            new2_url.alias("text"),
+            _null_s.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+    )
+    new_docs = wired.select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/new/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        new_spans.alias("spans"),
+    )
+    docs_full = _arith_docs_full(keyed, n).unionByName(new_docs)
+    seeds = [r["url"] for r in keyed.select("url").collect()]
     cfg = CrawlConfig(
         agent="TRSBot",
-        per_host_k=4,
+        per_host_k=64,
         step_seconds=10.0,
-        default_delay=0.5,
+        default_delay=0.25,
+        max_depth=50,
         bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
     )
+    store = FrontierStore(tempfile.mkdtemp(prefix="trs_three_"), n_buckets=8)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        run_crawl(
-            spark,
-            store,
-            synth_documents_df(spark, documents),
-            synth_robots_df(spark, robots),
-            seeds,
-            cfg,
-            n_steps=3,
-        )
+        run_crawl(spark, store, docs_full, robots_raw, seeds, cfg, n_steps=3)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    return crawl_order(spark, store)
+    return store.read_frontier(spark).select(
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        "state",
+    )
 
 
 def _minhash_lsh_pairs(spark, sf_dir):
@@ -1118,8 +1201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "embedding_near_dups": _embedding_near_dups,
         "doc_fingerprints": _doc_fingerprints,
-        # engine-specific (rows-only: matcher/stateful logic DuckDB
-        # cannot express; semantics carried by the pytest corpus)
+        # engine paths replayed in SQL by construction (literal-prefix
+        # rules, scale-derived host counts — every query below is
+        # hash-oracled, including the full 2- and 3-step crawls)
         "robots_gate_conformance": _robots_gate_conformance,
         "crawl_superstep": _crawl_superstep,
         "schedule_step": _schedule_step,
@@ -1825,6 +1909,66 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict
             UNION ALL
             SELECT url, host, CAST(1 AS BIGINT), 0.5, 'fetched' FROM newu
+        """,
+        "crawl_superstep": """
+            -- terminal frontier of a full 3-step crawl (crawl_two_steps
+            -- plus one more discovery generation): originals verdicted
+            -- in step 1, /new/<t2> of fetched parents discovered and
+            -- fetched in step 2 (their docs link to /new2/<t1>), the
+            -- /new2/ generation discovered and fetched in step 3 with
+            -- nothing behind it (drain). Scheduling cuts never bind
+            -- (docs/host <= 8 < allowance 20 < per_host_k 64) and no
+            -- host ever blocks, so the fetch SET is rank-independent;
+            -- not_before is rank-dependent and excluded.
+            WITH n_docs AS (SELECT count(*) AS n FROM documents
+            ), hn AS (
+                SELECT GREATEST(25, CAST(ceil(n / 8.0) AS BIGINT)) AS h
+                FROM n_docs
+            ), d AS (
+                SELECT doc_id, source,
+                       doc_id % hn.h AS hidx,
+                       CAST(doc_id AS VARCHAR) AS sd,
+                       source || '-' || CAST(doc_id % hn.h AS VARCHAR)
+                           || '.example' AS host
+                FROM documents, hn
+            ), g AS (
+                SELECT *,
+                       'https://' || host || '/p/' || sd AS url,
+                       CAST(hidx % 10 AS VARCHAR) AS dd
+                FROM d
+            ), verdict AS (
+                SELECT *,
+                       CASE WHEN starts_with(sd, dd || dd) THEN TRUE
+                            WHEN starts_with(sd, dd) THEN FALSE
+                            ELSE TRUE END AS allowed
+                FROM g
+            ), new1 AS (
+                SELECT DISTINCT t.doc_id AS tid,
+                       'https://' || t.host || '/new/'
+                           || CAST(t.doc_id AS VARCHAR) AS url,
+                       t.host AS host
+                FROM verdict v, n_docs
+                JOIN g t ON t.doc_id = (v.doc_id * 13 + 3) % n_docs.n
+                WHERE v.allowed
+            ), new2 AS (
+                SELECT DISTINCT
+                       'https://' || u.host || '/new2/'
+                           || CAST(u.doc_id AS VARCHAR) AS url,
+                       u.host AS host
+                FROM new1, n_docs
+                JOIN g u ON u.doc_id = (new1.tid * 7 + 1) % n_docs.n
+            )
+            SELECT url, host, CAST(0 AS BIGINT) AS depth,
+                   1.0 AS priority,
+                   CASE WHEN allowed THEN 'fetched'
+                        ELSE 'disallowed' END AS state
+            FROM verdict
+            UNION ALL
+            SELECT url, host, CAST(1 AS BIGINT), 0.5, 'fetched' FROM new1
+            UNION ALL
+            SELECT url, host, CAST(2 AS BIGINT), round(1.0 / 3.0, 6),
+                   'fetched'
+            FROM new2
         """,
         "sitemap_seed_frontier": """
             -- sitemap seeding replay: every host contributes its local
