@@ -531,10 +531,11 @@ def _simhash_fingerprints(spark, sf_dir):
 
 
 def _lang_id(spark, sf_dir):
-    """Bigram-profile language ID through the vectorized pandas UDF
-    (operators/text.py). Oracled: every profile bigram has two distinct
-    characters, so occurrence counts are replace-based-countable and the
-    whole heuristic is expressible as closed-form SQL in DuckDB."""
+    """29-language character-bigram language ID through the vectorized
+    pandas UDF (operators/text.py). Oracled: every profile bigram has
+    two distinct codepoints, so occurrence counts are replace-based-
+    countable and the whole model is expressible as closed-form SQL in
+    DuckDB (348 score terms, generated from the same profile data)."""
     from texting_robots_spark.operators.text import add_lang_id
 
     return add_lang_id(_t(spark, sf_dir, "documents")).select(
@@ -1226,7 +1227,7 @@ def oracle_sql() -> dict[str, str]:
 
     def _lang_score(bigrams):
         return " + ".join(
-            f"{10 - i} * (length(lt) - length(replace(lt, '{bg}', ''))) / 2"
+            f"{len(bigrams) - i} * (length(lt) - length(replace(lt, '{bg}', ''))) / 2"
             for i, bg in enumerate(bigrams)
         )
 

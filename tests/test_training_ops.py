@@ -110,10 +110,13 @@ def test_quality_features_and_fingerprint(spark):
 
 
 def test_lang_id_runs_and_is_deterministic(spark, documents):
+    from texting_robots_spark.operators.text import _LANG_PROFILES
+
     out = add_lang_id(documents.limit(50))
     langs = [r["lang_guess"] for r in out.collect()]
     assert len(langs) == 50
-    assert all(l in ("en", "de", "fr", "es", "zh", "und") for l in langs)
+    valid = set(_LANG_PROFILES) | {"und"}
+    assert all(l in valid for l in langs)
 
 
 def test_cosine_topk_matches_numpy(spark, embeddings):
@@ -311,3 +314,64 @@ def test_media_resize_and_frame_sample_plumbing(spark, documents):
     # the NotImplementedError slot where real codecs plug in
     with _pytest.raises(Exception, match="NotImplementedError|real media"):
         resize_media(media, 8, 8, decode_stub=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# language ID: 29-language profile model (round 4)
+# ---------------------------------------------------------------------------
+
+# one idiomatic sample sentence per language (authored for this test;
+# public-knowledge text, not corpus data)
+_LANG_SNIPPETS = {
+    "en": "The quick brown fox jumps over the lazy dog and then runs there again.",
+    "de": "Der schnelle braune Fuchs springt über den faulen Hund und rennt weiter.",
+    "fr": "Le renard brun rapide saute par-dessus le chien paresseux qui dort encore.",
+    "es": "Los niños de la escuela cantan canciones españolas cada mañana en la plaza del pueblo.",
+    "pt": "A rápida raposa marrom salta sobre o cão preguiçoso durante a manhã de verão.",
+    "it": "La volpe marrone veloce salta sopra il cane pigro che dorme al sole di maggio.",
+    "nl": "Het meisje loopt langzaam naar huis omdat zij haar fiets bij de school heeft laten staan.",
+    "sv": "Barnen åker till skolan på morgonen för att läsa böcker och sjunga sånger tillsammans.",
+    "fi": "Nopea ruskea kettu hyppää laiskan koiran yli ja juoksee sitten metsään takaisin.",
+    "pl": "Szybki brązowy lis przeskakuje nad leniwym psem i biegnie dalej przez wielkie pole.",
+    "tr": "Çocuklar okula giderken yolda arkadaşlarını gördüler ve birlikte oynamaya başladılar.",
+    "ru": "Быстрая коричневая лиса перепрыгивает через ленивую собаку и бежит дальше в лес.",
+    "el": "Η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί και τρέχει μακριά.",
+    "ar": "الثعلب البني السريع يقفز فوق الكلب الكسول في الصباح الباكر من كل يوم.",
+    "he": "השועל החום המהיר קופץ מעל הכלב העצלן ורץ הלאה אל היער הגדול.",
+    "hi": "तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूदती है और फिर जंगल की ओर भागती है।",
+    "ja": "素早い茶色の狐が怠け者の犬を飛び越えて、それから森の方へ走っていきます。",
+    "ko": "빠른 갈색 여우가 게으른 개를 뛰어넘고 나서 숲으로 계속 달려갑니다.",
+    "zh": "敏捷的棕色狐狸跳过了那只懒狗，然后继续向森林里跑去，没有停下来。",
+    "th": "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจในตอนเช้าและวิ่งต่อไปในป่า",
+    "id": "Rubah coklat yang cepat melompati anjing malas dan kemudian berlari ke dalam hutan.",
+    "sw": "Mbweha mwekundu mwenye kasi anaruka juu ya mbwa mvivu na kukimbia msituni haraka.",
+    "vi": "Con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng rồi chạy vào rừng sâu.",
+}
+
+
+def test_lang_profiles_satisfy_oracle_invariants():
+    """The driver oracle's closed form — count(bg) = (len - len(replace))/2
+    — is only valid when every bigram is exactly two DISTINCT codepoints;
+    SQL generation also requires no single-quote. Pin both, plus unique
+    bigrams per profile and a minimum language count."""
+    from texting_robots_spark.operators.text import _LANG_PROFILES
+
+    assert len(_LANG_PROFILES) >= 20
+    for lang, bgs in _LANG_PROFILES.items():
+        assert len(bgs) == len(set(bgs)), lang
+        for bg in bgs:
+            assert len(bg) == 2 and bg[0] != bg[1] and "'" not in bg, (lang, bg)
+
+
+def test_lang_id_classifies_multilingual_snippets(spark):
+    """Real sentences across 8 scripts (Latin, Cyrillic, Greek, Arabic,
+    Hebrew, Devanagari, CJK, Thai) through the vectorized UDF: every
+    snippet must identify as its own language, and empty/None text as
+    'und'."""
+    from texting_robots_spark.operators.text import add_lang_id
+
+    rows = [(lang, txt) for lang, txt in _LANG_SNIPPETS.items()]
+    rows += [("und", ""), ("und", None)]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    got = {r["expected"]: r["lang_guess"] for r in add_lang_id(df).collect()}
+    assert got == {lang: lang for lang, _ in rows}

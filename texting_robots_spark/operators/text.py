@@ -2,8 +2,9 @@
 
 - quality features (token counts, distinct ratio, mean token length):
   native expressions, DuckDB-oracle-checkable.
-- language ID: character-bigram profile heuristic as a vectorized pandas
-  UDF (no SQL equivalent -> rows-only oracle).
+- language ID: 29-language character-bigram profile model as a
+  vectorized pandas UDF (profiles embedded as data; hash-oracled via
+  the closed-form replace-count trick — see below).
 - document fingerprints: md5 (oracle-checkable) and a polynomial rolling
   hash over tokens (native expressions via aggregate()).
 """
@@ -128,23 +129,64 @@ def rolling_fingerprint(
 
 
 # ---------------------------------------------------------------------------
-# language ID: tiny character-bigram profiles (deterministic heuristic).
-# A real model would be plugged in the same way — this keeps the Spark
-# plumbing (vectorized UDF, broadcastable profiles) real and tested.
+# language ID: character-bigram profiles over 29 languages (Latin,
+# Cyrillic, Greek, Arabic, Hebrew, Devanagari, CJK, Thai scripts),
+# embedded as data. Each profile is 12 rank-weighted bigrams drawn from
+# well-known character/digraph frequency facts for the language (public
+# linguistic knowledge), biased toward DISTINCTIVE digraphs (ñ/ó es,
+# å/ä/ö sv, ı/ş/ğ tr, ij/ui nl, æ/ø da, ...) so related languages
+# separate. Scoring: sum over profile bigrams of count(bigram) *
+# (12 - rank); highest positive score wins, ties to the first language
+# in sorted order; empty/zero-score text -> 'und'.
+#
+# Invariants the driver oracle depends on (pinned in pytest): every
+# bigram is exactly two DISTINCT codepoints (so overlapping-occurrence
+# counts equal replace-based counts: (len - len(replace))/2 — the
+# closed-form DuckDB replay) and contains no single-quote.
 # ---------------------------------------------------------------------------
 
 _LANG_PROFILES = {
-    "en": ("th", "he", "in", "er", "an", "re", " t", "on", "at", "es"),
-    "de": ("en", "er", "ch", "de", " d", "ei", "te", "in", "nd", "ie"),
-    "fr": ("es", "le", "de", " d", "en", "re", " l", "nt", "on", "er"),
-    "es": ("de", " d", "es", "en", "el", " e", "la", "os", " c", "ar"),
-    "zh": ("zh", "ng", "sh", " x", " z", "ia", "ua", "ji", "xi", "an"),
+    # Latin-script
+    "en": ("th", "he", "in", "er", "an", "re", "nd", "at", "on", " t", "en", "es"),
+    "de": ("ch", "ei", "ie", "sc", "un", "de", "er", "en", "zu", "au", "üb", "ät"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "ou", "qu", "ai", "ur", "an"),
+    "es": ("de", "la", "en", "el", "os", "ón", "ue", " e", "ar", "za", "ña", "es"),
+    "pt": ("de", "os", "ão", "es", "ra", "em", "co", "nt", "do", "da", "ad", "se"),
+    "it": ("di", "la", "to", "zi", "gl", "gi", "ch", "co", "el", "re", "un", "ta"),
+    "nl": ("en", "de", "ij", "oe", "ui", "sc", "ge", "et", "an", "he", "va", "er"),
+    "sv": ("en", "ar", "oc", "fö", "ör", "äv", "öv", "sj", "ck", "et", "an", "de"),
+    "da": ("er", "en", "de", "et", "og", "ed", "ær", "øj", "på", "il", "af", "ke"),
+    "no": ("er", "en", "et", "og", "å ", "ør", "ei", "ik", "sk", "om", "av", "ke"),
+    "fi": ("en", "in", "an", "is", "on", "ai", "ta", "st", "sa", "tä", "kä", "lä"),
+    "pl": ("ie", "ni", "po", "rz", "sz", "cz", "na", "wi", "ow", "yc", "ek", "dz"),
+    "cs": ("st", "ní", "po", "ov", "ně", "je", "na", "ro", "en", "ře", "ch", "at"),
+    "tr": ("ar", "la", "ın", "ır", "bi", "ği", "ş ", "çe", "ı ", "da", "le", "ka"),
+    "ro": ("de", "re", "in", "ul", "at", "ar", "ea", "es", "tr", "ca", "or", "ță"),
+    "hu": ("el", "gy", "sz", "en", "et", "eg", "te", "az", "me", "ek", "es", "ha"),
+    "id": ("an", "ng", "di", "ka", "me", "da", "be", "ya", "la", "se", "pe", "ta"),
+    "vi": ("ng", "nh", "th", "ch", "uy", "ươ", "iê", "ôn", "ạn", "ượ", "ấy", "ải"),
+    "sw": ("wa", "ku", "na", "ya", "ma", "ni", "ka", "za", "la", "ki", "mb", "ch"),
+    # Cyrillic
+    "ru": ("но", "на", "ен", "то", "ст", "ов", "ни", "ра", "во", "ко", "ре", "ан"),
+    "uk": ("на", "ни", "ст", "ів", "ти", "не", "по", "ов", "ен", "ня", "ко", "за"),
+    # Greek
+    "el": ("αι", "τα", "ου", "το", "ης", "αν", "κα", "ει", "να", "ερ", "ος", "τη"),
+    # RTL
+    "ar": ("ال", "ان", "ين", "ون", "ما", "من", "لا", "في", "ها", "ات", "عل", "ة "),
+    "he": ("ים", "ות", "על", "לא", "את", "ור", "בי", "ית", "של", "אל", "הם", "שי"),
+    # Indic
+    "hi": ("का", "के", "की", "है", "ने", "से", "ें", "ों", "ता", "ार", "िय", "हा"),
+    # CJK + Thai
+    "ja": ("して", "てい", "いる", "ます", "です", "った", "ない", "こと", "から", "する", "れて", "とい"),
+    "ko": ("니다", "하는", "습니", "으로", "에서", "하고", "있다", "것이", "지만", "하지", "는데", "들이"),
+    "zh": ("的是", "我们", "他们", "这个", "是一", "中国", "一个", "人民", "没有", "自己", "什么", "时候"),
+    "th": ("กา", "าร", "ที", "ใน", "มา", "คว", "วา", "ปร", "ระ", "ด้", "ไม", "เป"),
 }
 
 
 def lang_id_udf():
     profiles = {
-        lang: {bg: 10 - i for i, bg in enumerate(bgs)}
+        lang: {bg: len(bgs) - i for i, bg in enumerate(bgs)}
         for lang, bgs in _LANG_PROFILES.items()
     }
 

@@ -122,9 +122,16 @@ def _with_keys(
     ).withColumn("host", _host_of(F.col(url_col)))
 
 
-def seed_frontier(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> DataFrame:
-    """Canonicalized, deduped seed rows (state='queued', depth=0)."""
-    raw = spark.createDataFrame([(s,) for s in seeds], "raw_url string")
+def seed_frontier(spark: SparkSession, seeds, cfg: CrawlConfig) -> DataFrame:
+    """Canonicalized, deduped seed rows (state='queued', depth=0).
+
+    ``seeds`` is a list[str] (small seed lists) OR a single-column
+    DataFrame of raw URLs — the distributed form: a 10^8-row seed set
+    must never round-trip through a driver-side Python list."""
+    if isinstance(seeds, DataFrame):
+        raw = seeds.select(F.col(seeds.columns[0]).alias("raw_url"))
+    else:
+        raw = spark.createDataFrame([(s,) for s in seeds], "raw_url string")
     return (
         raw.withColumn("url", canonicalize_udf("raw_url"))
         .where(F.col("url").isNotNull())
@@ -176,16 +183,19 @@ def sitemap_seeds(rules_df: DataFrame, base_hash: str = "xxhash64") -> DataFrame
 def init_crawl(
     spark: SparkSession,
     store: FrontierStore,
-    seeds: List[str],
+    seeds,  # list[str] | DataFrame of raw URLs (see seed_frontier)
     cfg: CrawlConfig,
 ) -> int:
     """Write snapshot v0: seed frontier + its bloom filter. The seed
     frontier is cached across its two consumers (frontier write + bloom
     build) so the canonicalize UDF and seed dedup run once, not twice."""
+    _mark = _tracer()
     frontier = seed_frontier(spark, seeds, cfg).cache()
     try:
         filters = build_bloom(frontier, cfg.bloom)
-        return store.write_snapshot(frontier, filters, meta={"step": -1})
+        v = store.write_snapshot(frontier, filters, meta={"step": -1})
+        _mark("init_crawl (seed+bloom+snapshot)")
+        return v
     finally:
         frontier.unpersist()
 
@@ -536,7 +546,7 @@ def run_crawl(
     store: FrontierStore,
     docs: DataFrame,
     robots_raw: DataFrame,
-    seeds: List[str],
+    seeds,  # list[str] | DataFrame of raw URLs (see seed_frontier)
     cfg: CrawlConfig,
     n_steps: int,
     rules=None,

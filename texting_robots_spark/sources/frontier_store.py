@@ -135,9 +135,13 @@ class FrontierStore:
         resolved AFTER the delta write — so callers can consult
         Observation counters collected by that write (e.g. skip the bloom
         increment entirely when the step discovered no new URLs)."""
+        from ..plans.superstep import _tracer  # local import, no cycle
+
+        _mark = _tracer()
         manifest = self._read_manifest()
         version = manifest["current"] + 1
         updates.write.mode("overwrite").parquet(self._snap_dir(version, "delta"))
+        _mark("delta write")
         if callable(filters_increment):
             filters_increment = filters_increment()
         # the filters/host_state side writes are small jobs over data the
@@ -166,6 +170,7 @@ class FrontierStore:
         else:
             for w in side_writes:
                 w()
+        _mark("side writes (filters/host_state)")
         manifest["current"] = version
         manifest.setdefault("base", -1)
         manifest.setdefault("deltas", []).append(version)
@@ -186,6 +191,7 @@ class FrontierStore:
             self.write_snapshot(
                 full, filters, meta=manifest.get("meta"), host_state=self.read_host_state(spark)
             )
+            _mark("compaction")
         return version
 
     def read_frontier(self, spark: SparkSession, version: Optional[int] = None) -> DataFrame:
@@ -201,11 +207,35 @@ class FrontierStore:
             full = spark.createDataFrame([], FRONTIER_DDL)
         else:
             full = spark.read.parquet(self._snap_dir(base, "frontier"))
-        # merge-on-read: apply deltas in version order (later wins)
+        if not deltas:
+            return full
+        # merge-on-read, latest-wins: ONE union + window over (url_hash,
+        # version desc) replaces the chained per-delta anti-joins — k
+        # deltas cost one shuffle and one window pass instead of k
+        # anti-join shuffles and a k-deep plan (driver planning time and
+        # stage count per superstep stay flat as the delta chain grows).
+        # Each delta holds a url_hash at most once (a step's update set
+        # is deduped by construction), so (version) is a total order per
+        # key and row_number is deterministic.
+        from pyspark.sql.window import Window
+
+        cols = [f.name for f in full.schema.fields if f.name != "partition_salt"]
+        parts = [full.select(*cols).withColumn("_v", F.lit(base))]
         for d in sorted(deltas):
-            delta = spark.read.parquet(self._snap_dir(d, "delta"))
-            full = self.merge_frontier(full, delta)
-        return full
+            parts.append(
+                spark.read.parquet(self._snap_dir(d, "delta"))
+                .select(*cols)
+                .withColumn("_v", F.lit(d))
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        w = Window.partitionBy("url_hash").orderBy(F.desc("_v"))
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
 
     def read_keys(self, spark: SparkSession) -> DataFrame:
         """All url_hash keys present in the frontier (base + deltas).
