@@ -174,3 +174,68 @@ def test_sitemap_seeds_dedup_and_merge_into_store(spark, tmp_path):
     store = FrontierStore(str(tmp_path / "s"), n_buckets=2)
     store.write_snapshot(seeds, meta={"step": -1})
     assert store.read_frontier(spark).count() == 6
+
+
+def test_schedule_topk_skew_guard_survives_adversarial_skew(spark):
+    """Skew guard proof (round-3 VERDICT #5): an adversarial Zipf
+    frontier — ONE host holds ~50% of all queued rows — must still
+    yield exactly the true per-host top-k, and the skew MECHANISM is
+    pinned structurally: the executed plan must contain a PARTIAL
+    (map-side) WindowGroupLimit below the host exchange and a FINAL one
+    above it, with exactly one host exchange. The Partial node caps
+    every map partition's contribution at per_host_k rows per host, so
+    the hot host's window partition receives <= k * n_map_partitions
+    rows — never its full queue. Dropping the literal ``rank <=
+    per_host_k`` conjunct from schedule_batch (the thing that lets
+    Catalyst infer the rewrite) fails the structural assertions; the
+    test runs with a real delay TABLE so the per-row ``allowance``
+    column is present, the production shape."""
+    from pyspark.sql.window import Window
+
+    from texting_robots_spark.plans.superstep import CrawlConfig, schedule_batch
+
+    n_hot, n_cold_hosts, cold_rows = 100_000, 10, 100
+    hot = spark.range(n_hot).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.lit("hot.example").alias("host"),
+        (F.pmod(F.col("id") * 37, F.lit(1000)) / 1000.0).alias("priority"),
+    )
+    cold = spark.range(n_cold_hosts * cold_rows).select(
+        F.xxhash64(F.concat(F.lit("c"), F.col("id"))).alias("url_hash"),
+        F.concat(
+            F.lit("cold"), (F.col("id") % n_cold_hosts).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        (F.pmod(F.col("id") * 17, F.lit(1000)) / 1000.0).alias("priority"),
+    )
+    eligible = hot.unionByName(cold)
+    delays = spark.createDataFrame(
+        [("hot.example", 0.01)] + [(f"cold{i}.example", 0.02) for i in range(5)],
+        "host string, crawl_delay double",
+    )
+    cfg = CrawlConfig(per_host_k=5, step_seconds=60.0, default_delay=0.01)
+    out = schedule_batch(eligible, delays, cfg, t0=0.0)
+
+    # 1) structural: Partial WGL -> single host exchange -> Final WGL
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i_partial = plan.find("Partial")
+    i_final = plan.find("Final")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert i_partial != -1 and i_final != -1, plan[:2000]
+    # executedPlan prints top-down, so Final (above the exchange)
+    # appears BEFORE Partial (below it) in the text
+    i_exchange = plan.find("Exchange hashpartitioning")
+    assert i_final < i_exchange < i_partial, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+    # 2) semantic: identical to the plain single-window top-k
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    expected = {
+        (r["url_hash"], r["rank"])
+        for r in eligible.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    got = {(r["url_hash"], r["rank"]) for r in out.collect()}
+    assert got == expected
+    assert len(got) == 5 * (1 + n_cold_hosts)

@@ -16,10 +16,12 @@ pandas UDFs (robots gate, URL canonicalization):
 
 Scale notes:
 - the only per-host shuffle is the scheduling window; hosts are Zipf-
-  skewed, so a salted two-level top-k ((host, pmod(url_hash, SALT))
-  sub-ranks first) bounds any single window partition to SALT x k rows
-  no matter how hot the host, and AQE skew handling covers the fetch
-  join.
+  skewed, so the top-k is written to trigger Catalyst's
+  InferWindowGroupLimit: a map-side (Partial) WindowGroupLimit caps
+  every input partition at per_host_k rows per host BEFORE the host
+  shuffle, bounding any single window partition to k x n_map_partitions
+  rows no matter how hot the host (see schedule_batch; replaced round
+  3's manual salted two-level top-k — same bound, one shuffle fewer).
 - AQE note: because the skew handling above is explicit, adaptive
   re-planning changes nothing in this plan while charging a stage
   materialization per shuffle (~30 stages/step). Run the crawl with
@@ -221,24 +223,23 @@ def schedule_batch(
     Output adds crawl_delay (default-coalesced), rank, allowance, and
     fetch_time = t0 + (rank-1)*crawl_delay, keeping only rows with
     rank <= allowance.
-    """
-    # Skew guard: a hot host may have millions of queued rows; ranking
-    # them all in one window partition is the frontier's skew point
-    # (SURVEY §4.3). Two-level top-k: first rank within (host, salt)
-    # sub-partitions and keep per_host_k from each — the true per-host
-    # top-k survives (every global top-k row is in its salt-group's
-    # top-k) — then rank the <= SALT*k survivors exactly.
-    SALT = 16
-    w_salt = Window.partitionBy("host", "salt").orderBy(
-        F.desc("priority"), F.asc("url_hash")
-    )
-    pruned = (
-        eligible.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(SALT)))
-        .withColumn("srank", F.row_number().over(w_salt))
-        .where(F.col("srank") <= cfg.per_host_k)
-        .drop("salt", "srank")
-    )
 
+    Skew guard: a hot host may have millions of queued rows; ranking
+    them all in one window partition is the frontier's skew point
+    (SURVEY §4.3). The per-host top-k is written so Catalyst's
+    InferWindowGroupLimit rewrites it into a PARTIAL (map-side)
+    WindowGroupLimit before the host shuffle plus a FINAL one after:
+    every map partition forwards at most per_host_k rows per host, so
+    the hot host's window partition receives <= k * n_map_partitions
+    rows no matter how deep its queue — the same bound round 3's manual
+    (host, salt) two-level top-k provided, with ONE host shuffle
+    instead of two ((host,salt) + (host)). The rewrite requires a
+    LITERAL rank bound, hence the redundant ``rank <= per_host_k``
+    conjunct next to the per-row ``rank <= allowance`` (allowance <=
+    per_host_k always). Both the map-side bound and the single-exchange
+    shape are pinned by tests/test_superstep.py's adversarial-skew plan
+    assertion.
+    """
     # delay joins in; allowance = how many fetches fit in this step at
     # the host's crawl-delay (>=1: slower-than-step hosts advance
     # next_allowed past the step instead of starving). RulesBroadcast:
@@ -246,11 +247,11 @@ def schedule_batch(
     # (sharded mode): delays stay a DataFrame and the planner picks the
     # join strategy.
     if delays is None:
-        delay_join = pruned.withColumn("crawl_delay", F.lit(None).cast("double"))
+        delay_join = eligible.withColumn("crawl_delay", F.lit(None).cast("double"))
     elif broadcast_delays:
-        delay_join = pruned.join(F.broadcast(delays), "host", "left")
+        delay_join = eligible.join(F.broadcast(delays), "host", "left")
     else:
-        delay_join = pruned.join(delays, "host", "left")
+        delay_join = eligible.join(delays, "host", "left")
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
     ranked = (
         delay_join
@@ -268,7 +269,10 @@ def schedule_batch(
                 ).cast("int"),
             ),
         )
-        .where(F.col("rank") <= F.col("allowance"))
+        .where(
+            (F.col("rank") <= F.lit(cfg.per_host_k))
+            & (F.col("rank") <= F.col("allowance"))
+        )
         .withColumn("fetch_time", F.lit(t0) + (F.col("rank") - 1) * F.col("crawl_delay"))
     )
     # optional global batch cap: deterministic total order; per-host
