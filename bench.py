@@ -181,6 +181,38 @@ def main():
     rates["frontier_urls_per_sec"] = round(n_processed / dt, 1)
     rates["frontier_urls_processed"] = n_processed
 
+    # --- recrawl cycle over the store the crawl just produced -----------
+    # archive-compaction (cuckoo seen-set build over every key), cuckoo
+    # deletion + re-queue of 2k previously-fetched URLs, and the
+    # post-compaction candidate probe — the full deletable-seen-set path
+    # (plans/recrawl.py, operators/cuckoo.py)
+    from texting_robots_spark.operators.cuckoo import CuckooConfig
+    from texting_robots_spark.plans.recrawl import (
+        compact_frontier,
+        dedup_candidates_cuckoo,
+        schedule_recrawl,
+    )
+
+    ccfg = CuckooConfig(n_partitions=cpus, n_buckets=1 << 12)
+    refetch = [
+        r["url"]
+        for r in store.read_frontier(spark)
+        .where(F.col("state") == "fetched")
+        .select("url")
+        .limit(2000)
+        .collect()
+    ]
+    cand_probe = store.read_frontier(spark).select("url_hash").limit(20000)
+    t0 = time.time()
+    cstats = compact_frontier(spark, store, ccfg)
+    n_requeued = schedule_recrawl(spark, store, refetch, ccfg)
+    n_fresh = dedup_candidates_cuckoo(spark, store, cand_probe, ccfg).count()
+    dt = time.time() - t0
+    queries["recrawl_cycle"] = round(dt, 3)
+    rates["recrawl_archived"] = cstats["archived"]
+    rates["recrawl_requeued"] = n_requeued
+    rates["recrawl_fresh_candidates"] = n_fresh
+
     # --- representative sf queries ---------------------------------------
     # best-of-2 on the short lines: single-shot numbers swing ~2x with
     # sandbox VM noise (NOTES_r3 caveat 1); the crawl stays single-shot
