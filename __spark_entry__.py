@@ -728,7 +728,7 @@ def _schedule_step(spark, sf_dir):
     """One superstep's SCHEDULING stage (plans/superstep.py:
     schedule_batch — the exact code path frontier_step runs) over a
     frozen, arithmetic-derived frontier snapshot: politeness/depth
-    eligibility, salted per-host top-k window, crawl-delay allowance,
+    eligibility, skew-guarded per-host top-k window, crawl-delay allowance,
     fetch_time arithmetic. The url_hash tie-breaker uses the md5-derived
     base hash (operators/dedup.py:base_hash_expr) so DuckDB reproduces
     the window order bit-for-bit; production uses xxhash64, same plan."""

@@ -164,7 +164,7 @@ def main():
     )
     store = FrontierStore(tempfile.mkdtemp(prefix="trs_bench_"), n_buckets=cpus)
     # AQE off for the superstep only: the crawl plan handles skew
-    # explicitly (salted two-level top-k, explicit broadcasts, bucketed
+    # explicitly (map-side WindowGroupLimit top-k, explicit broadcasts, bucketed
     # seen-set), so adaptive re-planning cannot change this plan — it
     # only charges a stage materialization per shuffle (~30/step).
     # Interleaved A/B at sandbox scale: AQE off wins every pair, ~20-25%

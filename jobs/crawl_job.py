@@ -86,7 +86,7 @@ def main() -> None:
         from texting_robots_spark.operators.gate import RulesTable, build_rules
 
         rules = RulesTable(build_rules(robots_df, cfg.agent))
-    # superstep plans handle skew explicitly (salted top-k, explicit
+    # superstep plans handle skew explicitly (map-side WindowGroupLimit top-k, explicit
     # broadcasts); AQE only adds per-stage materialization cost to the
     # fixed per-step pipeline. Callers who want AQE for OTHER queries in
     # the same session can re-enable it after the crawl.

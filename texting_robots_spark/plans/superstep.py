@@ -210,7 +210,7 @@ def schedule_batch(
     broadcast_delays: bool = True,
 ) -> DataFrame:
     """The scheduling stage of one superstep, over an already
-    eligibility-filtered frontier slice: salted per-host top-k, crawl-
+    eligibility-filtered frontier slice: skew-guarded per-host top-k, crawl-
     delay allowance, and the politeness fetch_time arithmetic. Factored
     out of ``frontier_step`` so the driver's DuckDB oracle can pin this
     window logic over a frozen snapshot (the ``schedule_step`` query).

@@ -233,7 +233,7 @@ def measure(total_cores: int) -> dict:
             n_buckets=32,
         )
         # AQE off for the superstep only: the crawl plan handles skew
-        # explicitly (salted top-k, explicit broadcasts), so adaptive
+        # explicitly (map-side WindowGroupLimit top-k, explicit broadcasts), so adaptive
         # re-planning adds per-stage materialization cost without
         # changing the plan (~20-25% wall in interleaved A/B at sandbox
         # scale, identical output — NOTES_r3); both cluster sizes run
