@@ -48,6 +48,13 @@ RUN_CRAWL = os.environ.get("CB_CRAWL", "1") == "1"
 # compute speedup and the measurement reads ~0 efficiency on small
 # batches (diagnosed via event logs, round 4).
 N_PARTS = int(os.environ.get("CB_PARTS", 16))
+# CB_BUCKETED=1: store the corpus as a metastore table bucketed+sorted
+# on the fetch-join key, so the spans-heavy docs side of every
+# superstep's fetch join is CO-LOCATED (zero docs-side shuffle/sort per
+# step) — the production shape for a content store a crawl joins
+# against every round. Bucket count == shuffle partitions so the
+# planner aligns the narrow scheduled side to the buckets.
+BUCKETED_DOCS = os.environ.get("CB_BUCKETED", "1") == "1"
 
 
 def _spawn(args, logfile):
@@ -125,6 +132,18 @@ def measure(total_cores: int) -> dict:
     )
 
     builder = SparkSession.builder
+    # keep catalog/warehouse artifacts out of the repo (saveAsTable with
+    # the default in-memory catalog still resolves a warehouse dir)
+    wh = tempfile.mkdtemp(prefix="trs_wh_", dir=os.environ.get("CB_TMPDIR"))
+    builder = builder.config("spark.sql.warehouse.dir", "file://" + wh)
+    if BUCKETED_DOCS:
+        # the planner's auto-bucketed-scan heuristic drops the bucketing
+        # info on the single-sided bucket join; force it so the docs
+        # side is never re-shuffled (verified: docs-side Exchange+Sort
+        # elided, SelectedBucketsCount present in the scan)
+        builder = builder.config(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
     if os.environ.get("CB_EVENTLOG"):
         builder = builder.config("spark.eventLog.enabled", "true").config(
             "spark.eventLog.dir", "file://" + os.environ["CB_EVENTLOG"]
@@ -205,10 +224,18 @@ def measure(total_cores: int) -> dict:
         docs_dir = tempfile.mkdtemp(
             prefix=f"trs_docs_{total_cores}_", dir=os.environ.get("CB_TMPDIR")
         )
-        synth_documents_distributed(spark, N_DOCS, N_HOSTS).repartition(
-            N_PARTS
-        ).write.mode("overwrite").parquet(docs_dir)
-        docs_df = spark.read.parquet(docs_dir)
+        if BUCKETED_DOCS:
+            synth_documents_distributed(spark, N_DOCS, N_HOSTS).write.mode(
+                "overwrite"
+            ).bucketBy(N_PARTS, "url").sortBy("url").option(
+                "path", docs_dir
+            ).saveAsTable("docs_corpus")
+            docs_df = spark.table("docs_corpus")
+        else:
+            synth_documents_distributed(spark, N_DOCS, N_HOSTS).repartition(
+                N_PARTS
+            ).write.mode("overwrite").parquet(docs_dir)
+            docs_df = spark.read.parquet(docs_dir)
         robots_df = synth_robots_df(
             spark,
             [
