@@ -136,6 +136,12 @@ def measure(total_cores: int) -> dict:
     # the default in-memory catalog still resolves a warehouse dir)
     wh = tempfile.mkdtemp(prefix="trs_wh_", dir=os.environ.get("CB_TMPDIR"))
     builder = builder.config("spark.sql.warehouse.dir", "file://" + wh)
+    if os.environ.get("CB_ZSTD") == "1":
+        # trade CPU for shuffle bytes: on a bandwidth-ceilinged host
+        # (tools/host_ceiling.py) heavier compression raises the
+        # byte-bound workload's scaling headroom — the same conf a
+        # network-bound production cluster would run
+        builder = builder.config("spark.io.compression.codec", "zstd")
     if BUCKETED_DOCS:
         # the planner's auto-bucketed-scan heuristic drops the bucketing
         # info on the single-sided bucket join; force it so the docs
