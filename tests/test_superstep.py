@@ -239,3 +239,25 @@ def test_schedule_topk_skew_guard_survives_adversarial_skew(spark):
     got = {(r["url_hash"], r["rank"]) for r in out.collect()}
     assert got == expected
     assert len(got) == 5 * (1 + n_cold_hosts)
+
+
+def test_seed_frontier_dataframe_equals_list(spark):
+    """The distributed seed path (DataFrame of raw URLs — a 10^8-row
+    seed set must not round-trip through a driver list) must produce
+    exactly the rows of the list path: same canonicalization, same
+    url_hash dedup, same defaults."""
+    from texting_robots_spark.plans.superstep import CrawlConfig, seed_frontier
+
+    seeds = [
+        "https://A.Example/x?b=2&a=1",
+        "https://a.example/x?a=1&b=2",  # canonical dup of the first
+        "http://b.example:80/y#frag",
+        "not-a-url",
+        "https://c.example/z",
+    ]
+    cfg = CrawlConfig()
+    from_list = {tuple(r) for r in seed_frontier(spark, seeds, cfg).collect()}
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "raw_url string")
+    from_df = {tuple(r) for r in seed_frontier(spark, seeds_df, cfg).collect()}
+    assert from_df == from_list
+    assert len(from_df) == 3  # dup collapsed, non-URL dropped
