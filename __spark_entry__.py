@@ -506,6 +506,63 @@ def _crawl_superstep(spark, sf_dir):
     )
 
 
+def _priority_refresh(spark, sf_dir):
+    """Link-graph priority refresh (plans/superstep.py:refresh_priorities):
+    queued rows re-weighted by observed in-degree, p' = 0.5*p +
+    0.5*indeg/(1+indeg); fetched rows pass through. Links are derived
+    arithmetically (two bijective target maps per doc; one carries a
+    #fragment the canonicalizer must strip before counting), md5-twin
+    hashing so DuckDB replays the whole path."""
+    from texting_robots_spark.plans.superstep import refresh_priorities
+
+    docs0 = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    n = docs0.count()
+    hidx = F.col("doc_id") % 25
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    keyed = docs0.select("doc_id", url.alias("url"), host.alias("host"))
+    from texting_robots_spark.operators.dedup import base_hash_expr
+
+    frontier = keyed.select(
+        base_hash_expr(F.col("url"), "md5").alias("url_hash"),
+        "url",
+        "host",
+        ((F.col("doc_id") * 37 % 100) / 100.0).alias("priority"),
+        (F.col("doc_id") % 5).alias("depth"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("fetched"))
+        .otherwise(F.lit("queued"))
+        .alias("state"),
+        F.lit(0.0).alias("not_before"),
+    )
+    tgt = keyed.select(F.col("doc_id").alias("_t"), F.col("url").alias("_turl"))
+    l1 = (
+        docs0.select(((F.col("doc_id") * 7 + 1) % n).alias("_t"))
+        .join(F.broadcast(tgt), "_t")
+        .select(F.concat(F.col("_turl"), F.lit("#frag")).alias("url"))
+    )
+    l2 = (
+        docs0.select(((F.col("doc_id") * 13 + 3) % n).alias("_t"))
+        .join(F.broadcast(tgt), "_t")
+        .select(F.col("_turl").alias("url"))
+    )
+    out = refresh_priorities(
+        frontier, l1.unionByName(l2), alpha=0.5, base_hash="md5"
+    )
+    return out.select(
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        "state",
+    )
+
+
 def _minhash_lsh_pairs(spark, sf_dir):
     """Full MinHash+LSH pipeline (shingle -> signature -> band -> bucket
     join -> distinct pairs) with the md5-derived base hash so DuckDB
@@ -1210,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schedule_step": _schedule_step,
         "superstep_one_step": _superstep_one_step,
         "crawl_two_steps": _crawl_two_steps,
+        "priority_refresh": _priority_refresh,
         "sitemap_seed_frontier": _sitemap_seed_frontier,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1910,6 +1968,42 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict
             UNION ALL
             SELECT url, host, CAST(1 AS BIGINT), 0.5, 'fetched' FROM newu
+        """,
+        "priority_refresh": """
+            -- link-graph priority refresh replay: in-degree over the
+            -- two bijective target maps (fragments collapse at
+            -- canonicalization, so both maps count on the plain url),
+            -- p' = 0.5*p + 0.5*indeg/(1+indeg) on queued rows only
+            WITH n_docs AS (SELECT count(*) AS n FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       'https://' || source || '-'
+                           || CAST(doc_id % 25 AS VARCHAR) || '.example/p/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       source || '-' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example' AS host,
+                       CAST(doc_id * 37 % 100 AS DOUBLE) / 100.0 AS priority,
+                       doc_id % 5 AS depth,
+                       CASE WHEN doc_id % 10 = 0 THEN 'fetched'
+                            ELSE 'queued' END AS state
+                FROM documents
+            ), links AS (
+                SELECT t.url FROM g v, n_docs
+                JOIN g t ON t.doc_id = (v.doc_id * 7 + 1) % n_docs.n
+                UNION ALL
+                SELECT t.url FROM g v, n_docs
+                JOIN g t ON t.doc_id = (v.doc_id * 13 + 3) % n_docs.n
+            ), ind AS (
+                SELECT url, count(*) AS indeg FROM links GROUP BY url
+            )
+            SELECT g.url, g.host, CAST(g.depth AS BIGINT) AS depth,
+                   CASE WHEN g.state = 'queued' THEN
+                       round(0.5 * g.priority
+                             + 0.5 * (CAST(COALESCE(ind.indeg, 0) AS DOUBLE)
+                                      / (1.0 + COALESCE(ind.indeg, 0))), 6)
+                   ELSE round(g.priority, 6) END AS priority,
+                   g.state
+            FROM g LEFT JOIN ind ON ind.url = g.url
         """,
         "crawl_superstep": """
             -- terminal frontier of a full 3-step crawl (crawl_two_steps

@@ -261,3 +261,39 @@ def test_seed_frontier_dataframe_equals_list(spark):
     from_df = {tuple(r) for r in seed_frontier(spark, seeds_df, cfg).collect()}
     assert from_df == from_list
     assert len(from_df) == 3  # dup collapsed, non-URL dropped
+
+
+def test_refresh_priorities_indegree_and_passthrough(spark):
+    """Link-graph priority refresh: in-degree counts canonicalized
+    targets (fragment/query-order variants collapse), queued rows get
+    p' = a*p + (1-a)*indeg/(1+indeg), non-queued rows pass through
+    untouched."""
+    from texting_robots_spark.plans.superstep import refresh_priorities
+
+    rows = [
+        ("https://a.example/x", "a.example", 0.4, "queued"),   # indeg 3
+        ("https://b.example/y", "b.example", 0.8, "queued"),   # indeg 0
+        ("https://c.example/z", "c.example", 0.2, "fetched"),  # untouched
+    ]
+    frontier = spark.createDataFrame(
+        [(r[0], r[1], r[2], 0, r[3], 0.0) for r in rows],
+        "url string, host string, priority double, depth int, state string, "
+        "not_before double",
+    ).withColumn("url_hash", F.xxhash64("url"))
+    links = spark.createDataFrame(
+        [
+            ("https://a.example/x",),
+            ("https://A.Example/x#frag",),      # canonical dup of the same target
+            ("https://a.example/x?",),          # empty query strips
+            ("https://c.example/z",),           # target not queued -> ignored
+            ("relative/only",),                 # dropped by canonicalizer
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: (round(r["priority"], 6), r["state"])
+        for r in refresh_priorities(frontier, links, alpha=0.5).collect()
+    }
+    assert got["https://a.example/x"] == (round(0.5 * 0.4 + 0.5 * 0.75, 6), "queued")
+    assert got["https://b.example/y"] == (round(0.5 * 0.8, 6), "queued")
+    assert got["https://c.example/z"] == (0.2, "fetched")

@@ -66,6 +66,7 @@ __all__ = [
     "sitemap_seeds",
     "schedule_batch",
     "link_candidates",
+    "refresh_priorities",
     "frontier_step",
     "run_crawl",
 ]
@@ -305,6 +306,62 @@ def link_candidates(links: DataFrame, base_hash: str = "xxhash64") -> DataFrame:
         )
         .withColumn("priority", F.lit(1.0) / (F.lit(1.0) + F.col("depth")))
     )
+
+
+def refresh_priorities(
+    frontier: DataFrame,
+    links: DataFrame,
+    alpha: float = 0.5,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Link-graph priority refresh: re-weight QUEUED frontier rows by
+    their observed in-degree (the standard crawler re-prioritization —
+    pages many fetched pages point at move up the queue; an OPIC-style
+    signal computed from the link table instead of per-edge cash):
+
+        p' = round(alpha * p + (1 - alpha) * indeg / (1 + indeg), 6)
+
+    ``links`` is raw link rows (a column named ``url``, e.g.
+    ``extract_links`` output across any number of steps); targets are
+    canonicalized and keyed with the engine's url_hash convention, so
+    duplicate raw forms of one URL count as one target key each time
+    they appear. Rows whose state is not 'queued' pass through
+    unchanged (their priority is historical record).
+
+    Scale shape: the in-degree is one map-side-combinable hash
+    aggregate on url_hash; the refresh is a single join on url_hash —
+    the frontier's own bucketing key, so on a bucketed store the join
+    is co-located. No driver-side data, no window, no skew point (the
+    agg key is a hash, uniform by construction).
+
+    ``base_hash='md5'`` is the DuckDB-replayable twin (driver
+    ``priority_refresh`` oracle); production stays xxhash64.
+    """
+    indeg = (
+        links.withColumn("url_c", canonicalize_udf("url"))
+        .where(F.col("url_c").isNotNull())
+        .select(F.col("url_c").alias("url"))
+        .transform(lambda df: _with_keys(df, base_hash=base_hash))
+        .groupBy("url_hash")
+        .agg(F.count(F.lit(1)).alias("indeg"))
+    )
+    queued = frontier.where(F.col("state") == "queued")
+    rest = frontier.where(F.col("state") != "queued")
+    score = F.col("indeg").cast("double") / (F.lit(1.0) + F.col("indeg"))
+    refreshed = (
+        queued.join(indeg, "url_hash", "left")
+        .withColumn("indeg", F.coalesce("indeg", F.lit(0)))
+        .withColumn(
+            "priority",
+            F.round(
+                F.lit(float(alpha)) * F.col("priority")
+                + F.lit(1.0 - float(alpha)) * score,
+                6,
+            ),
+        )
+        .drop("indeg")
+    )
+    return refreshed.unionByName(rest.select(*refreshed.columns))
 
 
 def frontier_step(
