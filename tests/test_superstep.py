@@ -241,6 +241,91 @@ def test_schedule_topk_skew_guard_survives_adversarial_skew(spark):
     assert len(got) == 5 * (1 + n_cold_hosts)
 
 
+def test_skew_guard_holds_past_default_window_group_limit_threshold(spark):
+    """ADVICE r4 (medium): InferWindowGroupLimit only fires when the
+    literal rank bound is <= spark.sql.optimizer.windowGroupLimitThreshold
+    (default 1000) — per_host_k=1024+ (tools/cluster_bench.py's CB_K
+    default) would silently lose the map-side skew guard. schedule_batch
+    now raises the session threshold to per_host_k, so the guard holds
+    at ANY k; pinned here at k=1500."""
+    from texting_robots_spark.plans.superstep import CrawlConfig, schedule_batch
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(key, "1000")
+    spark.conf.set(key, "1000")
+    try:
+        eligible = spark.range(5000).select(
+            F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+            F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+            (F.pmod(F.col("id") * 37, F.lit(1000)) / 1000.0).alias("priority"),
+        )
+        cfg = CrawlConfig(per_host_k=1500, step_seconds=60.0, default_delay=0.01)
+        out = schedule_batch(eligible, None, cfg, t0=0.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan[:2000]
+        assert "Partial" in plan and "Final" in plan, plan[:2000]
+        assert int(spark.conf.get(key)) >= 1500
+        # the k=1500 cut itself still binds correctly
+        assert out.count() == 3 * 1500
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_blocked_host_anti_join_adapts_to_host_state_size(spark, tmp_path):
+    """VERDICT r4 #3: the blocked-host anti-join must not FORCE a
+    broadcast — at 10^8 active hosts with long delays the blocked set
+    can be most of host_state. With the hint gone the planner picks
+    broadcast for a small parquet-backed host_state and a non-broadcast
+    join once the size estimate exceeds autoBroadcastJoinThreshold
+    (simulated by disabling the threshold, the many-blocked-hosts
+    regime)."""
+    from texting_robots_spark.plans.superstep import CrawlConfig, eligible_slice
+
+    frontier = spark.range(2000).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.concat(F.lit("https://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit(1.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit("queued").alias("state"),
+        F.lit(0.0).alias("not_before"),
+    )
+    hs_path = str(tmp_path / "host_state")
+    spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(F.col("id") % 2 == 0, 999.0).otherwise(0.0).alias("next_allowed"),
+    ).write.parquet(hs_path)
+    host_state = spark.read.parquet(hs_path)
+    cfg = CrawlConfig()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small host_state file -> planner broadcasts (no hint needed)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        small = eligible_slice(frontier, host_state, t0=10.0, cfg=cfg)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small and "LeftAnti" in plan_small, (
+            plan_small[:2000]
+        )
+        # adversarial regime: blocked set too big to broadcast -> the
+        # SAME code plans a non-broadcast anti-join instead of OOMing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = eligible_slice(frontier, host_state, t0=10.0, cfg=cfg)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big, plan_big[:2000]
+        assert "LeftAnti" in plan_big, plan_big[:2000]
+        # semantics identical either way: even hosts blocked, odd pass
+        rows = {r["host"] for r in big.select("host").distinct().collect()}
+        assert rows == {f"h{i}.example" for i in range(50) if i % 2 == 1}
+        assert {r["host"] for r in small.select("host").distinct().collect()} == rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_seed_frontier_dataframe_equals_list(spark):
     """The distributed seed path (DataFrame of raw URLs — a 10^8-row
     seed set must not round-trip through a driver list) must produce

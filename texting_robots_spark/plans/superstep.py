@@ -7,7 +7,7 @@ pandas UDFs (robots gate, URL canonicalization):
       -> per-host top-k window (priority desc, url_hash)   [shuffle: host]
       -> politeness schedule  fetch_time = t0 + (rank-1)*delay
       -> robots gate (broadcast rules, no shuffle)
-      -> "fetch" = broadcast-or-shuffle join to documents on url
+      -> "fetch" = join to documents on the 8-byte url_hash key
       -> posexplode spans -> link extraction -> canonicalize -> url_hash
       -> in-batch dedup (groupBy url_hash)                 [shuffle: hash]
       -> bloom probe (cogroup, partition-aligned)
@@ -64,6 +64,7 @@ __all__ = [
     "CrawlConfig",
     "seed_frontier",
     "sitemap_seeds",
+    "eligible_slice",
     "schedule_batch",
     "link_candidates",
     "refresh_priorities",
@@ -74,15 +75,29 @@ __all__ = [
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 
 
+# When set to a dict, _tracer accumulates per-phase wall seconds into it
+# (label -> total across steps). bench.py points this at a dict so the
+# driver-visible BENCH JSON carries phase-level crawl timings — a bench
+# delta can be pinned to schedule/gate/commit without a debug session.
+TRACE_SINK: Optional[dict] = None
+
+
 def _tracer():
-    """Phase-timing printer for SPARK_GRAFT_TRACE=1 (perf diagnosis)."""
-    if os.environ.get("SPARK_GRAFT_TRACE") != "1":
+    """Phase timing: prints under SPARK_GRAFT_TRACE=1, accumulates into
+    TRACE_SINK when set (see above). Zero cost when both are off."""
+    trace_print = os.environ.get("SPARK_GRAFT_TRACE") == "1"
+    sink = TRACE_SINK
+    if not trace_print and sink is None:
         return lambda label: None
     state = {"t": time.time()}
 
     def mark(label):
         now = time.time()
-        print(f"    [{label}] {now - state['t']:.2f}s", flush=True)
+        dt = now - state["t"]
+        if trace_print:
+            print(f"    [{label}] {dt:.2f}s", flush=True)
+        if sink is not None:
+            sink[label] = round(sink.get(label, 0.0) + dt, 3)
         state["t"] = now
 
     return mark
@@ -247,6 +262,16 @@ def schedule_batch(
     # tiny driver-side delay table, explicit broadcast. RulesTable
     # (sharded mode): delays stay a DataFrame and the planner picks the
     # join strategy.
+    # The InferWindowGroupLimit rewrite only fires when the literal rank
+    # bound is <= spark.sql.optimizer.windowGroupLimitThreshold (default
+    # 1000, verified on Spark 4.1.2): a per_host_k above it would
+    # silently lose the map-side skew guard and send a hot host's whole
+    # queue to one window partition. Raise the threshold to per_host_k
+    # so the guard holds at ANY k (pinned by the k>1000 plan test).
+    sess = eligible.sparkSession
+    _thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if cfg.per_host_k > int(sess.conf.get(_thr_key, "1000")):
+        sess.conf.set(_thr_key, str(cfg.per_host_k))
     if delays is None:
         delay_join = eligible.withColumn("crawl_delay", F.lit(None).cast("double"))
     elif broadcast_delays:
@@ -364,6 +389,35 @@ def refresh_priorities(
     return refreshed.unionByName(rest.select(*refreshed.columns))
 
 
+def eligible_slice(
+    frontier: DataFrame,
+    host_state: Optional[DataFrame],
+    t0: float,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """Superstep §1: queued rows whose politeness clock and depth admit
+    them this step, minus rows on hosts whose token bucket is exhausted.
+
+    The blocked-host anti-join carries NO broadcast hint (VERDICT r4
+    #3): host_state is one row per ACTIVE host, and at 10^8 hosts with
+    long crawl-delays the blocked slice can be most of it — a forced
+    broadcast would OOM the driver/executors. host_state is
+    parquet-backed (store.read_host_state), so the static planner
+    broadcasts while the file sits under autoBroadcastJoinThreshold and
+    falls back to a shuffled join past it — the same dual-mode behavior
+    as RulesBroadcast/RulesTable, picked from size stats instead of a
+    forced hint (plan adaptivity pinned in tests/test_superstep.py)."""
+    eligible = frontier.where(
+        (F.col("state") == "queued")
+        & (F.col("not_before") <= F.lit(t0))
+        & (F.col("depth") <= F.lit(cfg.max_depth))
+    )
+    if host_state is not None:
+        blocked = host_state.where(F.col("next_allowed") > F.lit(t0)).select("host")
+        eligible = eligible.join(blocked, "host", "left_anti")
+    return eligible
+
+
 def frontier_step(
     spark: SparkSession,
     store: FrontierStore,
@@ -383,14 +437,7 @@ def frontier_step(
     _mark("snapshot reads")
 
     # --- 1. eligible queued rows (politeness clock per host) -------------
-    eligible = frontier.where(
-        (F.col("state") == "queued")
-        & (F.col("not_before") <= F.lit(t0))
-        & (F.col("depth") <= F.lit(cfg.max_depth))
-    )
-    if host_state is not None:
-        blocked = host_state.where(F.col("next_allowed") > F.lit(t0)).select("host")
-        eligible = eligible.join(F.broadcast(blocked), "host", "left_anti")
+    eligible = eligible_slice(frontier, host_state, t0, cfg)
 
     # --- 2. per-host top-k + politeness schedule --------------------------
     # No dedicated count job: the scheduled count rides the gate
@@ -447,8 +494,35 @@ def frontier_step(
     disallowed_batch = gated.where(~F.col("allowed"))
 
     # --- 4. fetch: join scheduled URLs to their documents ------------------
-    fetched_docs = fetched_batch.select("url_hash", "url", "depth").join(
-        docs.select(F.col("url").alias("url"), "doc_id", "spans"), "url", "inner"
+    # Keyed on the 8-byte url_hash, NOT the url string: this is the
+    # superstep's biggest join (the docs side carries the spans payload)
+    # and the crawl is measured byte-bound — shuffling/sorting/comparing
+    # 60-100 B URL strings as the join key is the largest avoidable byte
+    # cost at 100 TB (VERDICT r4 #2). A content store bucketed by
+    # url_hash makes the docs side shuffle-free every step
+    # (tools/cluster_bench.py CB_BUCKETED). Docs lacking a url_hash
+    # column get xxhash64(url) computed in-scan (the frontier's
+    # production hash — seed_frontier/link_candidates default); a
+    # precomputed docs url_hash MUST follow the same convention. The
+    # url-equality post-filter costs string compares only on hash-equal
+    # pairs and makes a 64-bit collision (expected ~3 at 10^10 URLs)
+    # drop the collided row instead of fetching the wrong document.
+    if "url_hash" in docs.columns:
+        docs_keyed = docs.select(
+            "url_hash", F.col("url").alias("_doc_url"), "doc_id", "spans"
+        )
+    else:
+        docs_keyed = docs.select(
+            F.xxhash64("url").alias("url_hash"),
+            F.col("url").alias("_doc_url"),
+            "doc_id",
+            "spans",
+        )
+    fetched_docs = (
+        fetched_batch.select("url_hash", "url", "depth")
+        .join(docs_keyed, "url_hash", "inner")
+        .where(F.col("url") == F.col("_doc_url"))
+        .drop("_doc_url")
     )
 
     # --- 5. link extraction -> canonical candidates ------------------------

@@ -134,7 +134,14 @@ class FrontierStore:
         ``filters_increment`` may be a DataFrame or a zero-arg callable
         resolved AFTER the delta write — so callers can consult
         Observation counters collected by that write (e.g. skip the bloom
-        increment entirely when the step discovered no new URLs)."""
+        increment entirely when the step discovered no new URLs).
+
+        INVARIANT: ``updates`` must hold each url_hash at most once (the
+        superstep's update set is groupBy(url_hash)-deduped by
+        construction). The merge-on-read window relies on it for
+        latest-wins to be well defined; a violating delta degrades to
+        the deterministic column tiebreak in read_frontier, which keeps
+        reads stable but silently drops the losing duplicate."""
         from ..plans.superstep import _tracer  # local import, no cycle
 
         _mark = _tracer()
@@ -214,9 +221,13 @@ class FrontierStore:
         # deltas cost one shuffle and one window pass instead of k
         # anti-join shuffles and a k-deep plan (driver planning time and
         # stage count per superstep stay flat as the delta chain grows).
-        # Each delta holds a url_hash at most once (a step's update set
-        # is deduped by construction), so (version) is a total order per
-        # key and row_number is deterministic.
+        # INVARIANT (see commit_step): each snapshot/delta holds a
+        # url_hash at most once, so (version) is a total order per key.
+        # The extra ordering columns are a deterministic tiebreak in
+        # case an EXTERNALLY written delta ever violates that invariant
+        # — the surviving row is then still the same on every read (the
+        # zero-delta path returns the base verbatim, duplicates and
+        # all; this path must not pick nondeterministically either).
         from pyspark.sql.window import Window
 
         cols = [f.name for f in full.schema.fields if f.name != "partition_salt"]
@@ -230,7 +241,9 @@ class FrontierStore:
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
-        w = Window.partitionBy("url_hash").orderBy(F.desc("_v"))
+        w = Window.partitionBy("url_hash").orderBy(
+            F.desc("_v"), F.asc("state"), F.asc("url"), F.asc("not_before")
+        )
         return (
             merged.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

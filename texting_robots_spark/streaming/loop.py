@@ -186,8 +186,11 @@ def run_stream_crawl(
         eligible = cands.where(F.col("depth") <= F.lit(cfg.max_depth))
         if os.path.exists(hstate_dir):
             host_state = spark.read.parquet(hstate_dir)
+            # no broadcast hint — host_state is parquet-backed, so the
+            # planner picks broadcast vs shuffle from size stats (the
+            # same rationale as superstep.eligible_slice)
             blocked = host_state.where(F.col("next_allowed") > F.lit(t0)).select("host")
-            eligible = eligible.join(F.broadcast(blocked), "host", "left_anti")
+            eligible = eligible.join(blocked, "host", "left_anti")
         else:
             host_state = None
         scheduled = schedule_batch(eligible, delays, cfg, t0).cache()

@@ -231,11 +231,16 @@ def measure(total_cores: int) -> dict:
             prefix=f"trs_docs_{total_cores}_", dir=os.environ.get("CB_TMPDIR")
         )
         if BUCKETED_DOCS:
-            synth_documents_distributed(spark, N_DOCS, N_HOSTS).write.mode(
-                "overwrite"
-            ).bucketBy(N_PARTS, "url").sortBy("url").option(
-                "path", docs_dir
-            ).saveAsTable("docs_corpus")
+            # bucketed + sorted on url_hash — the superstep's fetch-join
+            # key since round 5 (8-byte hash, not the url string): the
+            # spans-heavy docs side joins with zero Exchange+Sort per
+            # step AND the shuffle that remains moves hash keys, not a
+            # text corpus (VERDICT r4 #2)
+            synth_documents_distributed(spark, N_DOCS, N_HOSTS).withColumn(
+                "url_hash", F.xxhash64("url")
+            ).write.mode("overwrite").bucketBy(N_PARTS, "url_hash").sortBy(
+                "url_hash"
+            ).option("path", docs_dir).saveAsTable("docs_corpus")
             docs_df = spark.table("docs_corpus")
         else:
             synth_documents_distributed(spark, N_DOCS, N_HOSTS).repartition(
