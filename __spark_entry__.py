@@ -1145,6 +1145,138 @@ def _crawl_two_steps(spark, sf_dir):
     )
 
 
+def _recrawl_requeue(spark, sf_dir):
+    """The FULL recrawl/cuckoo path (plans/recrawl.py, operators/
+    cuckoo.py) — the one first-class component round 4 left outside the
+    DuckDB hash signal — run end-to-end against a real FrontierStore and
+    hash-oracled:
+
+        write_snapshot (queued+fetched universe)
+          -> compact_frontier   (archive non-queued; build cuckoo over
+                                 EVERY key, zero-drop checked)
+          -> schedule_recrawl   (cuckoo-DELETE the refetch hashes,
+                                 MERGE fresh queued rows)
+          -> dedup_candidates_cuckoo (post-compaction seen-check)
+
+    Deterministic by construction, so DuckDB replays it without knowing
+    cuckoo internals:
+    - deleting a genuinely-inserted key always succeeds and probing a
+      still-inserted key is always true (no false negatives), so the
+      delete set == the refetch set and still-archived/still-queued
+      candidates are always screened out;
+    - the only probabilistic surface is a false POSITIVE on a
+      never-inserted or deleted key (~1.2e-4/probe at 16-bit tags,
+      8 slots); the filter hash chain is seeded RNG-free from the
+      url_hash (cuckoo.py), so for the FIXED testdata universe the
+      probe outcomes are bit-reproducible — verified FP-free at
+      sf0.001/0.01/0.1 (a true collision would surface as a stable,
+      diagnosable hash mismatch, not flakiness);
+    - compaction zero-drop is load-bound (<=625 keys/partition vs 16k
+      slots at sf0.1) and compact_frontier RAISES on any drop.
+
+    Output: 'archived' rows (the compacted-away fetched set), the
+    'frontier' after requeue (original queued + requeued rows at
+    priority 2.0/depth 0), and the 'fresh' candidate set (deleted keys
+    + never-seen /new/ URLs pass; still-seen keys screened)."""
+    import tempfile
+
+    from texting_robots_spark.operators.cuckoo import CuckooConfig
+    from texting_robots_spark.plans.recrawl import (
+        compact_frontier,
+        dedup_candidates_cuckoo,
+        schedule_recrawl,
+    )
+    from texting_robots_spark.sources.frontier_store import FrontierStore
+
+    docs0 = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    hidx = F.col("doc_id") % 25
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    base = (
+        docs0.select(
+            "doc_id",
+            url.alias("url"),
+            host.alias("host"),
+            (((F.col("doc_id") * 37) % 100) / F.lit(100.0)).alias("priority"),
+            (F.col("doc_id") % 5).cast("int").alias("depth"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("queued"))
+            .otherwise(F.lit("fetched"))
+            .alias("state"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(0.0))
+            .otherwise((F.col("doc_id") % 7).cast("double") * F.lit(0.5))
+            .alias("not_before"),
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    store = FrontierStore(tempfile.mkdtemp(prefix="trs_recrawl_"), n_buckets=8)
+    store.write_snapshot(
+        base.select(
+            "url_hash", "url", "host", "priority", "depth", "state", "not_before"
+        ),
+        filters=None,
+        meta={"step": 0},
+    )
+    ccfg = CuckooConfig(n_partitions=8, n_buckets=1 << 12)
+    compact_frontier(spark, store, ccfg)
+    refetch_pred = (F.col("state") == "fetched") & (F.col("doc_id") % 5 == 1)
+    refetch = [r["url"] for r in base.where(refetch_pred).select("url").collect()]
+    schedule_recrawl(spark, store, refetch, ccfg, priority=2.0)
+    cand = (
+        base.where(refetch_pred)
+        .select("url", "host")
+        .unionByName(
+            base.where(F.col("doc_id") % 4 == 2).select(
+                F.concat(
+                    F.lit("https://"),
+                    F.col("host"),
+                    F.lit("/new/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "host",
+            )
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    fresh = dedup_candidates_cuckoo(spark, store, cand, ccfg)
+    _nd = F.lit(None).cast("double")
+    _nl = F.lit(None).cast("long")
+    _ns = F.lit(None).cast("string")
+    archived = spark.read.parquet(os.path.join(store.root, "archive")).select(
+        F.lit("archived").alias("section"),
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        "state",
+        "not_before",
+    )
+    fin = store.read_frontier(spark).select(
+        F.lit("frontier").alias("section"),
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.round("priority", 6).alias("priority"),
+        "state",
+        "not_before",
+    )
+    fresh_sec = fresh.select(
+        F.lit("fresh").alias("section"),
+        "url",
+        "host",
+        _nl.alias("depth"),
+        _nd.alias("priority"),
+        _ns.alias("state"),
+        _nd.alias("not_before"),
+    )
+    return archived.unionByName(fin).unionByName(fresh_sec)
+
+
 def _sitemap_seed_frontier(spark, sf_dir):
     """Sitemap-driven frontier seeding: arithmetic robots.txt bodies
     (one host-local sitemap + one SHARED cdn sitemap per host) go
@@ -1267,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schedule_step": _schedule_step,
         "superstep_one_step": _superstep_one_step,
         "crawl_two_steps": _crawl_two_steps,
+        "recrawl_requeue": _recrawl_requeue,
         "priority_refresh": _priority_refresh,
         "sitemap_seed_frontier": _sitemap_seed_frontier,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1919,6 +2052,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'queued', url, host, CAST(depth AS BIGINT),
                    round(1.0 / (1.0 + depth), 6), 0.0
             FROM newr
+        """,
+        "recrawl_requeue": """
+            -- full recrawl cycle replay: compact archives the fetched
+            -- rows; schedule_recrawl deletes the refetch hashes from
+            -- the cuckoo seen-set and MERGEs them back as queued
+            -- (priority 2.0, depth 0); the post-compaction candidate
+            -- probe passes exactly the deleted + never-seen keys
+            -- (cuckoo has no false negatives; the fixed universe is
+            -- verified FP-free — see the Spark docstring).
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                       CAST(doc_id AS BIGINT) % 25 AS hidx
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       source || '-' || CAST(hidx AS VARCHAR)
+                           || '.example' AS host,
+                       'https://' || source || '-' || CAST(hidx AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       doc_id % 5 AS depth,
+                       ROUND(((doc_id * 37) % 100) / 100.0, 6) AS priority,
+                       CASE WHEN doc_id % 3 = 0 THEN 'queued'
+                            ELSE 'fetched' END AS state,
+                       CASE WHEN doc_id % 3 = 0 THEN 0.0
+                            ELSE (doc_id % 7) * 0.5 END AS not_before
+                FROM d
+            )
+            SELECT 'archived' AS section, url, host,
+                   CAST(depth AS BIGINT) AS depth, priority, state,
+                   not_before
+            FROM g WHERE state = 'fetched'
+            UNION ALL
+            SELECT 'frontier', url, host, CAST(depth AS BIGINT), priority,
+                   'queued', not_before
+            FROM g WHERE state = 'queued'
+            UNION ALL
+            SELECT 'frontier', url, host, CAST(0 AS BIGINT), 2.0,
+                   'queued', 0.0
+            FROM g WHERE state = 'fetched' AND doc_id % 5 = 1
+            UNION ALL
+            SELECT 'fresh', url, host, NULL, NULL, NULL, NULL
+            FROM g WHERE state = 'fetched' AND doc_id % 5 = 1
+            UNION ALL
+            SELECT 'fresh', 'https://' || host || '/new/'
+                       || CAST(doc_id AS VARCHAR), host,
+                   NULL, NULL, NULL, NULL
+            FROM g WHERE doc_id % 4 = 2
         """,
         "crawl_two_steps": """
             -- terminal frontier of a full 2-step crawl: originals get
