@@ -1319,6 +1319,68 @@ def _sitemap_seed_frontier(spark, sf_dir):
     )
 
 
+def _rules_per_agent(spark, sf_dir):
+    """Multi-agent rules build (operators/gate.py:build_rules_per_agent
+    — one parse job for many (host, agent) rows; previously only
+    corpus-tested via the single-agent form, VERDICT r4 missing #3).
+    Arithmetic three-group robots bodies exercise, per (host, agent):
+    exact case-insensitive token match ('alphabot' query vs 'AlphaBot'
+    group — reference lib.rs:394-403), fallback to the '*' group for an
+    unlisted agent, per-group Crawl-delay presence/absence (no preamble
+    fallback fires: the preamble holds no delay), GLOBAL ordered sitemap
+    collection identical across agents (lib.rs:373-384), and the
+    precedence sort (longest pattern first, Allow before Disallow on
+    ties) flattened into a replayable signature string."""
+    from texting_robots_spark.operators.gate import build_rules_per_agent
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    hidx = F.col("doc_id") % 25
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    hosts = docs.select(host.alias("host"), hidx.alias("hidx")).distinct()
+    dd = (F.col("hidx") % 10).cast("string")
+    delay_line = F.when(
+        F.col("hidx") % 3 == 0, F.lit("Crawl-delay: 1.5\n")
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("User-agent: AlphaBot\nDisallow: /a"),
+        dd,
+        F.lit("\nAllow: /a"),
+        dd,
+        dd,
+        F.lit("\n"),
+        delay_line,
+        F.lit("Sitemap: https://"),
+        F.col("host"),
+        F.lit("/sm.xml\n\nUser-agent: BetaBot\nDisallow: /b"),
+        dd,
+        F.lit("\n\nUser-agent: *\nDisallow: /z\nCrawl-delay: 0.25\n"),
+    )
+    agents = spark.createDataFrame(
+        [("alphabot",), ("BetaBot",), ("GammaBot",)], "agent string"
+    )
+    raw = hosts.crossJoin(agents).select(
+        "host", "agent", F.encode(body, "UTF-8").alias("body")
+    )
+    rules = build_rules_per_agent(raw)
+    sig = (
+        "array_join(transform(rules, x -> concat(x.pattern, ':', "
+        "CASE WHEN x.is_allow THEN 'A' ELSE 'D' END)), '|')"
+    )
+    return rules.select(
+        "host",
+        "agent",
+        F.col("delay").cast("double").alias("delay"),
+        F.size("rules").cast("long").alias("n_rules"),
+        F.expr(sig).alias("rules_sig"),
+        F.expr("array_join(sitemaps, '|')").alias("sitemaps_sig"),
+        "parse_error",
+    )
+
+
 def _rank_orders_window(spark, sf_dir):
     """rank/dense_rank/row_number with deterministic tie-break — the
     frontier's per-host priority ordering shape."""
@@ -1395,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rules, scale-derived host counts — every query below is
         # hash-oracled, including the full 2- and 3-step crawls)
         "robots_gate_conformance": _robots_gate_conformance,
+        "rules_per_agent": _rules_per_agent,
         "crawl_superstep": _crawl_superstep,
         "schedule_step": _schedule_step,
         "superstep_one_step": _superstep_one_step,
@@ -2052,6 +2115,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'queued', url, host, CAST(depth AS BIGINT),
                    round(1.0 / (1.0 + depth), 6), 0.0
             FROM newr
+        """,
+        "rules_per_agent": """
+            -- closed-form replay of the three-group robots body: the
+            -- chosen group per agent is known by construction
+            -- (alphabot -> AlphaBot group case-insensitively, BetaBot
+            -- -> its group, GammaBot -> '*'), delays are per-group
+            -- literals (no preamble delay exists), sitemaps are global
+            -- and identical for every agent, and the precedence-sorted
+            -- rule list flattens to a literal signature.
+            WITH d AS (
+                SELECT DISTINCT source,
+                       CAST(doc_id AS BIGINT) % 25 AS hidx
+                FROM documents
+            ), h AS (
+                SELECT source || '-' || CAST(hidx AS VARCHAR)
+                           || '.example' AS host,
+                       hidx,
+                       CAST(hidx % 10 AS VARCHAR) AS dd
+                FROM d
+            ), a AS (
+                SELECT * FROM (VALUES ('alphabot'), ('BetaBot'),
+                                      ('GammaBot')) AS t(agent)
+            )
+            SELECT h.host, a.agent,
+                   CASE WHEN a.agent = 'alphabot' AND h.hidx % 3 = 0
+                            THEN 1.5
+                        WHEN a.agent = 'GammaBot' THEN 0.25
+                        ELSE NULL END AS delay,
+                   CAST(CASE WHEN a.agent = 'alphabot' THEN 2
+                             ELSE 1 END AS BIGINT) AS n_rules,
+                   CASE WHEN a.agent = 'alphabot'
+                            THEN '/a' || dd || dd || ':A|/a' || dd || ':D'
+                        WHEN a.agent = 'BetaBot' THEN '/b' || dd || ':D'
+                        ELSE '/z:D' END AS rules_sig,
+                   'https://' || h.host || '/sm.xml' AS sitemaps_sig,
+                   FALSE AS parse_error
+            FROM h CROSS JOIN a
         """,
         "recrawl_requeue": """
             -- full recrawl cycle replay: compact archives the fetched
