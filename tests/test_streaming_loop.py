@@ -128,6 +128,123 @@ def test_stream_crawl_exact_backstop_survives_tiny_bloom(spark, tmp_path):
     assert discovered == batch_urls
 
 
+def test_crash_replay_mid_commit_reproduces_batch_crawl(spark, tmp_path):
+    """Crash-injection proof of full-batch idempotence (round-4 ADVICE +
+    VERDICT r5 item: the epoch redesign must be DEMONSTRATED, not
+    reasoned). Drives the real foreachBatch function directly via
+    make_batch_processor and kills it mid-commit twice:
+
+    - batch 0 crashes AFTER the seen + out writes but BEFORE feedback/
+      pending/host_state (the exact round-4 hazard window: 'between the
+      seen append and the pending swap');
+    - batch 1 crashes AFTER its pending write but BEFORE host_state —
+      so its replay must ignore its own half-committed epoch=1 pending
+      dir and re-read epoch=0.
+
+    Each crash is followed by a replay under the SAME batch_id (what
+    foreachBatch does), and the final out/ + discovered sets must equal
+    the batch crawl's EXACTLY — including row COUNTS, which the round-4
+    shape fails (append-mode out/ duplicates the crashed attempt's
+    fetched rows). Candidates enter with maybe_seen=True for every row
+    (a degenerate bloom with FPR 1.0): admission then rides entirely on
+    the epoch-partitioned exact backstop, the surface under test."""
+    import os
+
+    import pytest
+
+    from texting_robots_spark.plans.superstep import seed_frontier
+    from texting_robots_spark.streaming.loop import (
+        CAND_DDL,
+        _write_one_file,
+        make_batch_processor,
+    )
+
+    documents, robots, seeds = synth_universe(
+        n_hosts=10, n_docs=200, n_seeds=16, seed=7
+    )
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=3,
+        step_seconds=10.0,
+        default_delay=2.0,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 20, n_hashes=4),
+    )
+    rules = RulesBroadcast(spark, build_rules(robots_df, cfg.agent))
+
+    # batch reference
+    store = FrontierStore(str(tmp_path / "crawl"), n_buckets=4)
+    run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=2, rules=rules)
+    frontier = store.read_frontier(spark).cache()
+    delays = rules.delay_df()
+    batch_fetch = {
+        (r["url_hash"], round(r["not_before"] - r["crawl_delay"], 6))
+        for r in (
+            frontier.where(F.col("state") == "fetched")
+            .join(F.broadcast(delays), "host", "left")
+            .withColumn(
+                "crawl_delay", F.coalesce("crawl_delay", F.lit(cfg.default_delay))
+            )
+            .select("url_hash", "not_before", "crawl_delay")
+            .collect()
+        )
+    }
+    batch_urls = {r["url_hash"] for r in frontier.select("url_hash").collect()}
+
+    # manual loop with injected crashes + same-id replays
+    workdir = str(tmp_path / "loop")
+    for d in ("src", "out", "discovered"):
+        os.makedirs(os.path.join(workdir, d), exist_ok=True)
+    seed_df = seed_frontier(spark, seeds, cfg).select(
+        "url_hash", "url", "host", "priority", "depth", F.lit(0).alias("step")
+    )
+    _write_one_file(
+        seed_df,
+        os.path.join(workdir, "stage_seed"),
+        os.path.join(workdir, "src", "step0.parquet"),
+    )
+    state: dict = {}
+
+    def proc(fail_after=None):
+        return make_batch_processor(
+            spark, docs_df, rules, cfg, workdir, n_steps=2,
+            state=state, fail_after=fail_after,
+        )
+
+    def load(step):
+        return (
+            spark.read.schema(CAND_DDL)
+            .parquet(os.path.join(workdir, "src", f"step{step}.parquet"))
+            .withColumn("maybe_seen", F.lit(True))
+        )
+
+    b0 = load(0)
+    with pytest.raises(RuntimeError, match="injected crash after out"):
+        proc(fail_after="out")(b0, 0)
+    proc()(b0, 0)  # foreachBatch replay: same batch_id
+    b1 = load(1)
+    with pytest.raises(RuntimeError, match="injected crash after pending"):
+        proc(fail_after="pending")(b1, 1)
+    proc()(b1, 1)
+    assert state["done"] == 2
+
+    out = spark.read.parquet(os.path.join(workdir, "out"))
+    got = [(r["url_hash"], round(r["fetch_time"], 6)) for r in out.collect()]
+    # COUNT equality kills duplicate-append; SET equality kills drops
+    assert len(got) == len(batch_fetch)
+    assert set(got) == batch_fetch
+    discovered = {
+        r["url_hash"]
+        for r in spark.read.schema(CAND_DDL)
+        .parquet(
+            os.path.join(workdir, "src"), os.path.join(workdir, "discovered")
+        )
+        .collect()
+    }
+    assert discovered == batch_urls
+
+
 def test_prior_epoch_paths_exclude_own_and_later_epochs(spark, tmp_path):
     """Crash-replay safety of the seen log (round-3 ADVICE, medium): a
     replayed micro-batch runs under the SAME batchId, so the anti-join

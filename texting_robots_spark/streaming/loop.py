@@ -37,17 +37,35 @@ the same bloom-prefilter + exact-backstop shape as the batch superstep
 genuinely-new URL at any n_bits. The anti-join probe side is only the
 maybe_seen slice (FPR + true repeats), not the stream.
 
-Crash-replay safety: the seen log is written per micro-batch to
-``seen/epoch=<batchId>`` with OVERWRITE of that one partition —
-foreachBatch replays a failed batch under the SAME batchId, so the
-rewrite is idempotent — and the anti-join reads only epochs STRICTLY
-BELOW the current batchId. A batch replayed after a crash mid-commit
-therefore never anti-joins against its own half-written hashes (the
-round-3 hazard: append-only log + full-dir read meant a replay dropped
-its own rows permanently). This also removes the read-then-append-to-
-the-same-path ordering hazard: the read set (epochs < b) and the write
-target (epoch = b) are disjoint directories, so correctness no longer
-depends on cache residency of the rescue result.
+Crash-replay safety — EVERY batch artifact is keyed on the batchId
+(round 5; foreachBatch replays a failed batch under the SAME id, and
+batchIds resume from the checkpoint after a driver restart):
+
+- reads come only from epochs STRICTLY BELOW the current batch (seen
+  anti-join; pending/host_state from the latest complete predecessor
+  epoch), writes go only to ``<table>/epoch=<batchId>`` with
+  overwrite — read and write sets are disjoint directories, so a
+  replayed batch recomputes from exactly the pre-crash inputs and its
+  rewrites are idempotent;
+- the virtual clock is ``t0 = batchId * step_seconds`` — NOT an
+  in-memory step counter, which would reset to 0 on restart while the
+  checkpoint resumes batchIds mid-sequence (round-4 ADVICE);
+- fetched rows land in ``out/epoch=<batchId>`` (overwrite), so a
+  replay can never append duplicate fetch rows (round-4 ADVICE: the
+  old ``mode=append`` out/ was the one non-idempotent write left);
+- the feedback file name is derived from the batchId, and moving a
+  file over an existing path replaces it atomically.
+
+Superseded pending/host_state epochs (< batchId-1) are pruned at the
+end of each batch — a replay of batch b only ever reads epoch b-1 —
+so the directory listing stays O(1) over long crawls. The seen log
+keeps one small file of NEW hashes per epoch (the exact-membership
+record; at 10^10 scale, compact it periodically like the batch
+store's bloom increments).
+
+The whole per-batch step is built by ``make_batch_processor`` —
+module-level so the crash-injection test drives it directly with a
+simulated mid-commit failure + same-id replay (fail_after).
 """
 
 from __future__ import annotations
@@ -71,7 +89,7 @@ from ..plans.superstep import (
 )
 from .stateful import stream_seen_filter
 
-__all__ = ["run_stream_crawl", "CAND_DDL"]
+__all__ = ["run_stream_crawl", "make_batch_processor", "CAND_DDL"]
 
 CAND_DDL = (
     "url_hash long, url string, host string, priority double, depth int, "
@@ -82,17 +100,12 @@ CAND_DDL = (
 def _write_one_file(df: DataFrame, stage_dir: str, dest: str) -> None:
     """Materialize ``df`` as exactly one parquet file at ``dest`` (the
     file-per-step contract that keeps one micro-batch == one crawl
-    step)."""
+    step). ``os.replace`` makes re-writing the same dest (a replayed
+    batch) an atomic idempotent overwrite."""
     df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
     part = glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
-    shutil.move(part, dest)
+    os.replace(part, dest)
     shutil.rmtree(stage_dir, ignore_errors=True)
-
-
-def _swap_dir(src_tmp: str, dest: str) -> None:
-    if os.path.exists(dest):
-        shutil.rmtree(dest)
-    os.replace(src_tmp, dest)
 
 
 def _prior_epoch_paths(seen_dir: str, batch_id: int) -> List[str]:
@@ -107,6 +120,198 @@ def _prior_epoch_paths(seen_dir: str, batch_id: int) -> List[str]:
         if int(os.path.basename(d).split("=", 1)[1]) < batch_id
         and glob.glob(os.path.join(d, "*.parquet"))
     )
+
+
+def _latest_epoch_path(table_dir: str, batch_id: int) -> Optional[str]:
+    """The most recent COMPLETE epoch partition strictly below
+    ``batch_id`` — how a batch reads its predecessor's pending/
+    host_state checkpoint. Its own epoch (a crashed attempt's
+    half-state) and empty dirs (crash between mkdir and file commit)
+    are never candidates, so a replay sees exactly what the first
+    attempt saw."""
+    best = -1
+    for d in glob.glob(os.path.join(table_dir, "epoch=*")):
+        e = int(os.path.basename(d).split("=", 1)[1])
+        if e < batch_id and e > best and glob.glob(os.path.join(d, "*.parquet")):
+            best = e
+    return None if best < 0 else os.path.join(table_dir, f"epoch={best}")
+
+
+def _prune_epochs(table_dir: str, below: int) -> None:
+    """Drop superseded epoch partitions (< ``below``): batch b only
+    ever reads epoch b-1, so older pending/host_state checkpoints are
+    dead weight and the listing stays O(1) over long crawls."""
+    for d in glob.glob(os.path.join(table_dir, "epoch=*")):
+        if int(os.path.basename(d).split("=", 1)[1]) < below:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def make_batch_processor(
+    spark: SparkSession,
+    docs: DataFrame,
+    rules,  # RulesBroadcast
+    cfg: CrawlConfig,
+    workdir: str,
+    n_steps: int,
+    state: Optional[dict] = None,
+    fail_after: Optional[str] = None,
+):
+    """Build the foreachBatch function for one crawl step. Module-level
+    (not a closure private to run_stream_crawl) so the crash-injection
+    test can drive batches directly: construct with ``fail_after`` set
+    to one of {"seen", "out", "feedback", "pending", "host_state"} to
+    raise RIGHT AFTER that write commits — simulating a crash
+    mid-batch — then replay the SAME batch_id through a non-failing
+    processor, exactly what foreachBatch does after a failure.
+
+    Every read comes from epochs < batch_id, every write goes to
+    ``<table>/epoch=<batch_id>`` with overwrite, and the virtual clock
+    is ``batch_id * step_seconds`` — see the module docstring for why
+    each of these is load-bearing for replay/restart idempotence."""
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    pending_dir = os.path.join(workdir, "pending")
+    hstate_dir = os.path.join(workdir, "host_state")
+    seen_dir = os.path.join(workdir, "seen")
+    discovered = os.path.join(workdir, "discovered")
+    allowed_udf = make_allowed_udf(rules.broadcast, on_parse_error=cfg.on_parse_error)
+    delays = rules.delay_df()
+    docs_slim = docs.select(F.col("url").alias("url"), "doc_id", "spans")
+    if state is None:
+        state = {}
+
+    def _fail(phase: str) -> None:
+        if fail_after == phase:
+            raise RuntimeError(f"injected crash after {phase} write (test hook)")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # virtual clock from the DURABLE batch_id: an in-memory step
+        # counter resets on driver restart while the checkpoint resumes
+        # batch ids mid-sequence, silently rewinding politeness time
+        t0 = batch_id * cfg.step_seconds
+        # exact backstop (batch superstep §6): rows the bloom flags
+        # maybe_seen are re-checked against the seen log — only the
+        # maybe slice pays the join, and a false positive can't drop a
+        # new URL. definite-new rows skip the exact check.
+        probed = batch_df.select(
+            "url_hash", "url", "host", "priority", "depth", "maybe_seen"
+        )
+        definite = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+        prior_epochs = _prior_epoch_paths(seen_dir, batch_id)
+        if prior_epochs:
+            rescued = maybe.join(
+                spark.read.parquet(*prior_epochs), "url_hash", "left_anti"
+            )
+        else:
+            rescued = maybe
+        fresh = definite.unionByName(rescued).cache()
+        scheduled = gated = None
+        try:
+            # record this batch's admissions BEFORE they can re-enter
+            # the loop via feedback (epoch overwrite = replay-idempotent)
+            fresh.select("url_hash").coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(seen_dir, f"epoch={batch_id}")
+            )
+            _fail("seen")
+            prev_pending = _latest_epoch_path(pending_dir, batch_id)
+            if prev_pending:
+                cands = spark.read.parquet(prev_pending).unionByName(fresh)
+            else:
+                cands = fresh
+            # politeness eligibility (batch superstep §1): hosts whose
+            # clock exceeds this step's t0 sit out; rows stay pending
+            eligible = cands.where(F.col("depth") <= F.lit(cfg.max_depth))
+            prev_hs = _latest_epoch_path(hstate_dir, batch_id)
+            if prev_hs:
+                host_state = spark.read.parquet(prev_hs)
+                # no broadcast hint — host_state is parquet-backed, so
+                # the planner picks broadcast vs shuffle from size
+                # stats (same rationale as superstep.eligible_slice)
+                blocked = host_state.where(
+                    F.col("next_allowed") > F.lit(t0)
+                ).select("host")
+                eligible = eligible.join(blocked, "host", "left_anti")
+            else:
+                host_state = None
+            scheduled = schedule_batch(eligible, delays, cfg, t0).cache()
+            gated = scheduled.withColumn(
+                "allowed", allowed_udf(F.col("host"), F.col("url"))
+            ).cache()
+            fetched = gated.where(F.col("allowed"))
+            # fetched rows out (the crawl-order artifact): per-epoch
+            # overwrite — a replayed batch can never append duplicates
+            fetched.select(
+                "url_hash", "url", "host", "depth", "fetch_time",
+                F.lit(batch_id).alias("step"),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, f"epoch={batch_id}")
+            )
+            _fail("out")
+            # feedback: extract -> canonical candidates; the stateful
+            # bloom upstream drops everything already seen, so this
+            # file may feed zero fresh rows — the NEXT batch still
+            # fires (one file = one step) and schedules the backlog
+            fetched_docs = fetched.select("url", "depth").join(
+                docs_slim, "url", "inner"
+            )
+            links = extract_links(
+                fetched_docs.select("doc_id", "depth", "spans"),
+                passthrough=("depth",),
+            )
+            feedback = link_candidates(links).select(
+                "url_hash", "url", "host", "priority", "depth",
+                F.lit(batch_id + 1).alias("step"),
+            )
+            # intermediate feedback goes back into the stream source
+            # (the loop); the FINAL step's discoveries land beside it —
+            # part of the discovered-URL set but must not trigger a
+            # batch past n_steps (a trigger racing query.stop() fails
+            # the query)
+            dest = src if batch_id + 1 < n_steps else discovered
+            _write_one_file(
+                feedback,
+                os.path.join(workdir, f"stage_fb{batch_id}"),
+                os.path.join(dest, f"step{batch_id + 1}.parquet"),
+            )
+            _fail("feedback")
+            # pending' = candidates not scheduled this step (leftovers
+            # keep priority/depth and retry next step — batch §7)
+            cands.join(
+                scheduled.select("url_hash"), "url_hash", "left_anti"
+            ).write.mode("overwrite").parquet(
+                os.path.join(pending_dir, f"epoch={batch_id}")
+            )
+            _fail("pending")
+            # politeness advance from the rows actually scheduled (§8)
+            state_updates = gated.groupBy("host").agg(
+                (F.lit(t0) + F.count("*") * F.max("crawl_delay")).alias(
+                    "next_allowed"
+                )
+            )
+            if host_state is not None:
+                new_hs = host_state.join(
+                    state_updates.select("host"), "host", "left_anti"
+                ).unionByName(state_updates)
+            else:
+                new_hs = state_updates
+            new_hs.write.mode("overwrite").parquet(
+                os.path.join(hstate_dir, f"epoch={batch_id}")
+            )
+            _fail("host_state")
+        finally:
+            fresh.unpersist()
+            if scheduled is not None:
+                scheduled.unpersist()
+            if gated is not None:
+                gated.unpersist()
+        # this batch is fully committed; epochs < batch_id-1 can no
+        # longer be read by any future (re)attempt
+        _prune_epochs(pending_dir, batch_id - 1)
+        _prune_epochs(hstate_dir, batch_id - 1)
+        state["done"] = batch_id + 1  # completion sentinel (stop-safety)
+
+    return _process
 
 
 def run_stream_crawl(
@@ -129,9 +334,6 @@ def run_stream_crawl(
     src = os.path.join(workdir, "src")
     out = os.path.join(workdir, "out")
     ckpt = os.path.join(workdir, "ckpt")
-    pending_dir = os.path.join(workdir, "pending")
-    hstate_dir = os.path.join(workdir, "host_state")
-    seen_dir = os.path.join(workdir, "seen")
     discovered = os.path.join(workdir, "discovered")
     os.makedirs(src, exist_ok=True)
     os.makedirs(out, exist_ok=True)
@@ -145,112 +347,10 @@ def run_stream_crawl(
         seed_df, os.path.join(workdir, "stage_seed"), os.path.join(src, "step0.parquet")
     )
 
-    allowed_udf = make_allowed_udf(rules.broadcast, on_parse_error=cfg.on_parse_error)
-    delays = rules.delay_df()
-    docs_slim = docs.select(F.col("url").alias("url"), "doc_id", "spans")
-    state = {"step": 0}
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        step = state["step"]
-        state["step"] = step + 1
-        t0 = step * cfg.step_seconds
-        # exact backstop (batch superstep §6): rows the bloom flags
-        # maybe_seen are re-checked against the seen log — only the
-        # maybe slice pays the join, and a false positive can't drop a
-        # new URL. definite-new rows skip the exact check.
-        probed = batch_df.select(
-            "url_hash", "url", "host", "priority", "depth", "maybe_seen"
-        )
-        definite = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-        prior_epochs = _prior_epoch_paths(seen_dir, batch_id)
-        if prior_epochs:
-            rescued = maybe.join(
-                spark.read.parquet(*prior_epochs), "url_hash", "left_anti"
-            )
-        else:
-            rescued = maybe
-        fresh = definite.unionByName(rescued).cache()
-        # record this batch's admissions BEFORE they can re-enter the
-        # loop via feedback. OVERWRITE of this batch's own epoch dir =
-        # idempotent under foreachBatch replay (same batch_id).
-        fresh.select("url_hash").coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(seen_dir, f"epoch={batch_id}")
-        )
-        if os.path.exists(pending_dir):
-            cands = spark.read.parquet(pending_dir).unionByName(fresh)
-        else:
-            cands = fresh
-        # politeness eligibility (batch superstep §1): hosts whose clock
-        # exceeds this step's t0 sit out; their rows stay pending
-        eligible = cands.where(F.col("depth") <= F.lit(cfg.max_depth))
-        if os.path.exists(hstate_dir):
-            host_state = spark.read.parquet(hstate_dir)
-            # no broadcast hint — host_state is parquet-backed, so the
-            # planner picks broadcast vs shuffle from size stats (the
-            # same rationale as superstep.eligible_slice)
-            blocked = host_state.where(F.col("next_allowed") > F.lit(t0)).select("host")
-            eligible = eligible.join(blocked, "host", "left_anti")
-        else:
-            host_state = None
-        scheduled = schedule_batch(eligible, delays, cfg, t0).cache()
-        gated = scheduled.withColumn(
-            "allowed", allowed_udf(F.col("host"), F.col("url"))
-        ).cache()
-        fetched = gated.where(F.col("allowed"))
-        # fetched rows out (the crawl-order artifact)
-        fetched.select(
-            "url_hash", "url", "host", "depth", "fetch_time",
-            F.lit(step).alias("step"),
-        ).coalesce(1).write.mode("append").parquet(out)
-        # feedback: extract -> canonical candidates; the stateful bloom
-        # upstream drops everything already seen, so this file may feed
-        # zero fresh rows — the NEXT batch still fires (one file = one
-        # step) and schedules the pending backlog
-        fetched_docs = fetched.select("url", "depth").join(docs_slim, "url", "inner")
-        links = extract_links(
-            fetched_docs.select("doc_id", "depth", "spans"), passthrough=("depth",)
-        )
-        feedback = link_candidates(links).select(
-            "url_hash", "url", "host", "priority", "depth",
-            F.lit(step + 1).alias("step"),
-        )
-        # intermediate feedback goes back into the stream source (the
-        # loop); the FINAL step's discoveries land beside it instead —
-        # they are part of the crawl's discovered-URL set but must not
-        # trigger a batch past n_steps (a trigger racing query.stop()
-        # fails the query)
-        dest = src if step + 1 < n_steps else discovered
-        _write_one_file(
-            feedback,
-            os.path.join(workdir, f"stage_fb{step}"),
-            os.path.join(dest, f"step{step + 1}.parquet"),
-        )
-        # pending' = candidates not scheduled this step (leftovers keep
-        # their priority/depth and retry next step — batch §7 'queued')
-        pending_next = cands.join(
-            scheduled.select("url_hash"), "url_hash", "left_anti"
-        )
-        tmp_p = pending_dir + "_next"
-        pending_next.write.mode("overwrite").parquet(tmp_p)
-        # politeness advance from the rows actually scheduled (batch §8)
-        state_updates = gated.groupBy("host").agg(
-            (F.lit(t0) + F.count("*") * F.max("crawl_delay")).alias("next_allowed")
-        )
-        if host_state is not None:
-            new_hs = host_state.join(
-                state_updates.select("host"), "host", "left_anti"
-            ).unionByName(state_updates)
-        else:
-            new_hs = state_updates
-        tmp_h = hstate_dir + "_next"
-        new_hs.write.mode("overwrite").parquet(tmp_h)
-        scheduled.unpersist()
-        gated.unpersist()
-        fresh.unpersist()
-        _swap_dir(tmp_p, pending_dir)
-        _swap_dir(tmp_h, hstate_dir)
-        state["done"] = step + 1  # completion sentinel (stop-safety)
+    state: dict = {}
+    _process = make_batch_processor(
+        spark, docs, rules, cfg, workdir, n_steps, state=state
+    )
 
     stream = (
         spark.readStream.schema(CAND_DDL)
