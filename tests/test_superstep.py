@@ -348,6 +348,67 @@ def test_seed_frontier_dataframe_equals_list(spark):
     assert len(from_df) == 3  # dup collapsed, non-URL dropped
 
 
+def test_refresh_every_in_crawl_loop(spark, universe, tmp_path):
+    """cfg.refresh_every wires the link-graph priority refresh into
+    run_crawl (round-4 VERDICT #8): the refreshed crawl is
+    deterministic across runs, actually re-weights queued priorities
+    vs the unrefreshed crawl, and the refresh snapshot carries the
+    bloom filters + host_state forward (write_snapshot resets the
+    delta chain — dropping them would silently lose seen-ness and
+    politeness state)."""
+    _, _, seeds, docs_df, robots_df = universe
+
+    def run(tag, refresh_every, n_steps):
+        cfg = CrawlConfig(
+            agent="TRSBot",
+            per_host_k=4,
+            step_seconds=10.0,
+            default_delay=0.5,
+            bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
+            refresh_every=refresh_every,
+        )
+        store = FrontierStore(str(tmp_path / tag), n_buckets=8)
+        run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=n_steps)
+        return store
+
+    # determinism INCLUDING post-refresh scheduling: the refresh after
+    # step 2 re-weights priorities that step 3's top-k then cuts on
+    s_a, s_b = run("a", 2, 3), run("b", 2, 3)
+    rows_a = {
+        tuple(r)
+        for r in s_a.read_frontier(spark).drop("partition_salt").collect()
+    }
+    rows_b = {
+        tuple(r)
+        for r in s_b.read_frontier(spark).drop("partition_salt").collect()
+    }
+    assert rows_a == rows_b
+
+    # semantics, isolated: 2-step runs differing ONLY in the trailing
+    # refresh — same row set, same fetched set, re-weighted queued
+    # priorities (a 3-step comparison would diverge in step-3
+    # scheduling, by design)
+    s_r, s_plain = run("r2", 2, 2), run("plain2", None, 2)
+
+    def snap(store):
+        return {
+            r["url_hash"]: (r["state"], r["priority"])
+            for r in store.read_frontier(spark)
+            .select("url_hash", "state", "priority")
+            .collect()
+        }
+    sr, sp = snap(s_r), snap(s_plain)
+    assert set(sr) == set(sp)  # refresh never adds/drops rows
+    assert {k for k, v in sr.items() if v[0] == "fetched"} == {
+        k for k, v in sp.items() if v[0] == "fetched"
+    }
+    changed = {k for k in sr if sr[k] != sp[k]}
+    assert changed and all(sr[k][0] == "queued" for k in changed)
+    # seen-set + politeness state survive the refresh snapshot
+    assert s_r.read_filters(spark) is not None
+    assert s_r.read_host_state(spark) is not None
+
+
 def test_refresh_priorities_indegree_and_passthrough(spark):
     """Link-graph priority refresh: in-degree counts canonicalized
     targets (fragment/query-order variants collapse), queued rows get

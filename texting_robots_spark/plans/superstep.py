@@ -68,6 +68,8 @@ __all__ = [
     "schedule_batch",
     "link_candidates",
     "refresh_priorities",
+    "apply_indegree_refresh",
+    "refresh_step",
     "frontier_step",
     "run_crawl",
 ]
@@ -118,6 +120,15 @@ class CrawlConfig:
     max_depth: int = 50
     bloom: BloomConfig = field(default_factory=BloomConfig)
     on_parse_error: str = "disallow"
+    # link-graph priority refresh cadence: every k supersteps, re-weight
+    # QUEUED frontier priorities by observed in-degree (refresh_priorities
+    # formula, alpha=refresh_alpha). None (default) = off. When set,
+    # each step also records its per-target in-degree increment
+    # (url_hash, n_refs — tiny next to the delta) under the store, and
+    # the refresh is one sum + one co-partitioned join over those
+    # increments — fetched content is never re-scanned.
+    refresh_every: Optional[int] = None
+    refresh_alpha: float = 0.5
 
 
 def _host_of(url_col) -> F.Column:
@@ -328,6 +339,10 @@ def link_candidates(links: DataFrame, base_hash: str = "xxhash64") -> DataFrame:
             F.min("url").alias("url"),
             F.min("host").alias("host"),
             (F.min("depth") + 1).alias("depth"),
+            # raw link rows per canonical target — the in-degree
+            # increment the priority-refresh stage sums (free here: it
+            # rides the dedup aggregate's map-side combine)
+            F.count(F.lit(1)).alias("n_refs"),
         )
         .withColumn("priority", F.lit(1.0) / (F.lit(1.0) + F.col("depth")))
     )
@@ -370,6 +385,19 @@ def refresh_priorities(
         .groupBy("url_hash")
         .agg(F.count(F.lit(1)).alias("indeg"))
     )
+    return apply_indegree_refresh(frontier, indeg, alpha)
+
+
+def apply_indegree_refresh(
+    frontier: DataFrame, indeg: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """The apply stage of ``refresh_priorities``, taking a precomputed
+    (url_hash, indeg) table — so the crawl loop can SUM tiny per-step
+    in-degree increments (recorded by frontier_step when
+    cfg.refresh_every is set) instead of re-extracting and
+    re-canonicalizing every fetched document's links at refresh time.
+    Same formula, same oracle (``priority_refresh`` pins the composed
+    path)."""
     queued = frontier.where(F.col("state") == "queued")
     rest = frontier.where(F.col("state") != "queued")
     score = F.col("indeg").cast("double") / (F.lit(1.0) + F.col("indeg"))
@@ -531,6 +559,15 @@ def frontier_step(
         fetched_docs.select("doc_id", "depth", "spans"), passthrough=("depth",)
     )
     candidates = link_candidates(links)
+    if cfg.refresh_every:
+        # record this step's in-degree increment for the periodic
+        # priority refresh (run_crawl). Cached so the write (the first
+        # action over the candidate subtree) warms it for the commit;
+        # epoch-dir overwrite keeps a re-run idempotent.
+        candidates = candidates.cache()
+        candidates.select("url_hash", "n_refs").write.mode("overwrite").parquet(
+            os.path.join(store.root, "indeg", f"step={step}")
+        )
 
     # --- 6. seen-set dedup: bloom prefilter + exact anti-join --------------
     # the exact check probes the frontier's KEY SET (store.read_keys:
@@ -667,6 +704,8 @@ def frontier_step(
         _mark("metrics+lineage")
     gated.unpersist()
     new_rows.unpersist()
+    if cfg.refresh_every:
+        candidates.unpersist()
     return {
         "step": step,
         "scheduled": n_scheduled,
@@ -698,9 +737,45 @@ def run_crawl(
     if store.current_version() < 0:
         init_crawl(spark, store, seeds, cfg)
     out = []
-    for _ in range(n_steps):
+    for i in range(n_steps):
         out.append(frontier_step(spark, store, docs, rules, cfg))
+        if cfg.refresh_every and (i + 1) % cfg.refresh_every == 0:
+            refresh_step(spark, store, cfg)
     return out
+
+
+def refresh_step(spark: SparkSession, store: FrontierStore, cfg: CrawlConfig) -> None:
+    """Periodic link-graph priority refresh inside the crawl loop
+    (cfg.refresh_every): sum the per-step in-degree increments
+    frontier_step recorded, apply ``apply_indegree_refresh`` to the
+    frontier, and snapshot. The bloom filters and host_state are
+    carried into the new snapshot (write_snapshot resets the delta
+    chain, so dropping them would lose seen-ness and politeness state —
+    same carry-forward as commit_step's compaction). One map-side-
+    combinable sum + one join on the store's own bucketing key: no
+    content re-scan, no window, no skew point."""
+    path = os.path.join(store.root, "indeg")
+    if not os.path.exists(path):
+        return
+    indeg = (
+        spark.read.parquet(path)
+        .groupBy("url_hash")
+        .agg(F.sum("n_refs").alias("indeg"))
+    )
+    refreshed = apply_indegree_refresh(
+        store.read_frontier(spark), indeg, cfg.refresh_alpha
+    )
+    filters = store.read_filters(spark)
+    if filters is not None:
+        from ..operators.seen import merge_bloom
+
+        filters = merge_bloom(filters, filters.limit(0))  # one row/partition
+    store.write_snapshot(
+        refreshed,
+        filters,
+        meta=store.meta(),
+        host_state=store.read_host_state(spark),
+    )
 
 
 def crawl_order(spark: SparkSession, store: FrontierStore) -> DataFrame:
