@@ -321,6 +321,8 @@ def main():
                 timeout=6000,
                 env={**os.environ, "PYTHONPATH": ROOT},
             )
+            if os.environ.get("CB_VERBOSE") == "1":
+                print(out.stdout[-8000:], file=sys.stderr)
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
             if not lines:
                 print(out.stdout[-2000:], file=sys.stderr)
