@@ -128,6 +128,64 @@ def test_stream_crawl_exact_backstop_survives_tiny_bloom(spark, tmp_path):
     assert discovered == batch_urls
 
 
+def test_stream_crawl_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Driver-restart resume (north rule: resumable from checkpoint):
+    run ONE step of a 3-step crawl, stop the query, then start a NEW
+    query on the same checkpoint + workdir. The resumed query's batch
+    ids continue from the checkpoint (not from 0) and the politeness
+    clock rides the batch id, so the completed crawl must equal a
+    straight 3-step batch crawl — fetch times included. The round-4
+    shape fails this: its in-memory step counter reset to 0 on restart
+    while batch ids resumed, rewinding t0 and double-scheduling
+    blocked hosts."""
+    documents, robots, seeds = synth_universe(
+        n_hosts=10, n_docs=200, n_seeds=16, seed=13
+    )
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=3,
+        step_seconds=10.0,
+        default_delay=2.0,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 20, n_hashes=4),
+    )
+    rules = RulesBroadcast(spark, build_rules(robots_df, cfg.agent))
+
+    store = FrontierStore(str(tmp_path / "crawl"), n_buckets=4)
+    run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3, rules=rules)
+    frontier = store.read_frontier(spark).cache()
+    delays = rules.delay_df()
+    batch_fetch = {
+        (r["url_hash"], round(r["not_before"] - r["crawl_delay"], 6))
+        for r in (
+            frontier.where(F.col("state") == "fetched")
+            .join(F.broadcast(delays), "host", "left")
+            .withColumn(
+                "crawl_delay", F.coalesce("crawl_delay", F.lit(cfg.default_delay))
+            )
+            .select("url_hash", "not_before", "crawl_delay")
+            .collect()
+        )
+    }
+
+    wd = str(tmp_path / "loop")
+    first = run_stream_crawl(
+        spark, docs_df, rules, seeds, cfg, n_steps=3, workdir=wd, stop_after=1
+    )
+    assert first["steps"] == 1  # stopped mid-crawl
+    resumed = run_stream_crawl(
+        spark, docs_df, rules, seeds, cfg, n_steps=3, workdir=wd
+    )
+    assert resumed["steps"] == 3  # batch ids continued 1, 2 — not 0
+    got = [
+        (r["url_hash"], round(r["fetch_time"], 6))
+        for r in spark.read.parquet(resumed["out"]).collect()
+    ]
+    assert len(got) == len(batch_fetch)
+    assert set(got) == batch_fetch
+
+
 def test_crash_replay_mid_commit_reproduces_batch_crawl(spark, tmp_path):
     """Crash-injection proof of full-batch idempotence (round-4 ADVICE +
     VERDICT r5 item: the epoch redesign must be DEMONSTRATED, not

@@ -323,6 +323,7 @@ def run_stream_crawl(
     n_steps: int,
     workdir: str,
     timeout_sec: float = 300.0,
+    stop_after: Optional[int] = None,
 ) -> dict:
     """Run ``n_steps`` crawl steps as a self-feeding stream; returns
     {"out": fetched-rows parquet dir, "discovered": discovered-candidate
@@ -330,7 +331,17 @@ def run_stream_crawl(
 
     ``docs`` is the fetch stand-in corpus (url, doc_id, spans);
     ``rules`` a RulesBroadcast. The caller owns ``workdir``.
-    """
+
+    RESUMABLE: calling again with the same ``workdir`` (and the same
+    n_steps — it fixes which step's feedback lands in discovered/)
+    continues a stopped crawl from the Structured Streaming checkpoint:
+    batch ids resume where they left off, the seed file is written only
+    once, and every per-batch artifact is epoch-keyed on the durable
+    batchId (see module docstring). ``stop_after`` stops the query once
+    the crawl has completed that many steps IN TOTAL — it composes with
+    resume ("run to step k now, continue later"); a resumed session
+    whose target is already met waits out ``timeout_sec`` (there is no
+    batch left to fire the sentinel)."""
     src = os.path.join(workdir, "src")
     out = os.path.join(workdir, "out")
     ckpt = os.path.join(workdir, "ckpt")
@@ -339,13 +350,15 @@ def run_stream_crawl(
     os.makedirs(out, exist_ok=True)
     os.makedirs(discovered, exist_ok=True)
 
-    # step 0's candidate file: the canonicalized, deduped seed set
-    seed_df = seed_frontier(spark, seeds, cfg).select(
-        "url_hash", "url", "host", "priority", "depth", F.lit(0).alias("step")
-    )
-    _write_one_file(
-        seed_df, os.path.join(workdir, "stage_seed"), os.path.join(src, "step0.parquet")
-    )
+    # step 0's candidate file: the canonicalized, deduped seed set.
+    # Written only when absent: on a resume the checkpoint has already
+    # consumed it, and the no-op keeps the resume path read-only on src
+    seed_path = os.path.join(src, "step0.parquet")
+    if not os.path.exists(seed_path):
+        seed_df = seed_frontier(spark, seeds, cfg).select(
+            "url_hash", "url", "host", "priority", "depth", F.lit(0).alias("step")
+        )
+        _write_one_file(seed_df, os.path.join(workdir, "stage_seed"), seed_path)
 
     state: dict = {}
     _process = make_batch_processor(
@@ -365,10 +378,13 @@ def run_stream_crawl(
         .start()
     )
     deadline = time.time() + timeout_sec
+    # the sentinel is batch_id+1, i.e. the ABSOLUTE number of completed
+    # crawl steps — stop_after composes with resume ("run to step k")
+    target = n_steps if stop_after is None else min(int(stop_after), n_steps)
     try:
         # wait on the completion sentinel (set at the END of each
         # foreachBatch), so stop() can never kill a half-written step
-        while state.get("done", 0) < n_steps and time.time() < deadline:
+        while state.get("done", 0) < target and time.time() < deadline:
             time.sleep(0.5)
     finally:
         query.stop()
