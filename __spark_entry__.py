@@ -1381,6 +1381,75 @@ def _rules_per_agent(spark, sf_dir):
     )
 
 
+def _dataset_split(spark, sf_dir):
+    """Deterministic train/valid/test split by key hash (operators/
+    sampling.py:hash_split): no RNG, no sampling pass — the assignment
+    is a pure function of the key, so re-materializing the corpus on
+    any cluster/partitioning reproduces it. md5-twin hash makes the
+    10000-bucket lottery a one-line DuckDB replay."""
+    from texting_robots_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    out = hash_split(
+        docs, "doc_id", [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+        base_hash="md5",
+    )
+    return out.select("doc_id", "split")
+
+
+def _host_quality_filter(spark, sf_dir):
+    """Domain-level quality gate (operators/sampling.py:
+    host_quality_filter): C4/RefinedWeb-style — keep documents only
+    from hosts whose MEAN quality score clears a floor over enough
+    documents. The per-doc score is the distinct-token ratio quantized
+    to 1/64 (floor), which makes every per-host SUM exact in doubles —
+    the mean compare is then independent of Spark's partition-dependent
+    float summation order, so the threshold can sit mid-distribution
+    (0.5 splits the 25 synthetic hosts at every SF) and still hash-
+    match DuckDB bit-for-bit."""
+    from texting_robots_spark.operators.dedup import tokenize
+    from texting_robots_spark.operators.sampling import host_quality_filter
+
+    docs0 = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    score = F.floor(d.cast("double") / F.greatest(n, F.lit(1)) * 64) / F.lit(64.0)
+    scored = docs0.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string")).alias("host"),
+        score.alias("score"),
+    )
+    out = host_quality_filter(scored, min_mean_score=0.5, min_docs=2)
+    return out.select("doc_id", "host", "score")
+
+
+def _pack_shards(spark, sf_dir):
+    """Token-budget shard packing (operators/sampling.py:pack_shards):
+    documents hash into independent buckets, a cumulative-sum window
+    inside each bucket assigns every document to the training shard its
+    start offset falls in — no global sort, no sequential packing loop;
+    parallelism == bucket count at any corpus size. md5-twin bucket
+    hash + the whitespace token count give DuckDB the identical window
+    to replay (ROWS frame pinned on both sides)."""
+    from texting_robots_spark.operators.sampling import pack_shards
+
+    docs0 = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = pack_shards(docs0, token_budget=500, n_buckets=8, base_hash="md5")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "shard",
+    )
+
+
 def _rank_orders_window(spark, sf_dir):
     """rank/dense_rank/row_number with deterministic tie-break — the
     frontier's per-host priority ordering shape."""
@@ -1444,6 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": _repetition_features,
         "token_count_by_lang": _token_count_by_lang,
         "similarity_topk": _similarity_topk,
+        "dataset_split": _dataset_split,
+        "host_quality_filter": _host_quality_filter,
+        "pack_shards": _pack_shards,
         # sketches + robots derivations (oracled via md5 variants /
         # generator-arithmetic oracles)
         "minhash_lsh_pairs": _minhash_lsh_pairs,
@@ -2115,6 +2187,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'queued', url, host, CAST(depth AS BIGINT),
                    round(1.0 / (1.0 + depth), 6), 0.0
             FROM newr
+        """,
+        "dataset_split": """
+            -- hash_split replay: 10000-bucket lottery over the md5-twin
+            -- hash; cumulative weight cuts at 8000/9000 (0.8/0.1/0.1)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 10000 AS b
+                FROM documents
+            )
+        """,
+        "host_quality_filter": """
+            -- domain-level quality gate: per-doc score = distinct-token
+            -- ratio quantized to 1/64 (exact in doubles, so avg() is
+            -- summation-order-independent); keep docs of hosts with
+            -- avg(score) >= 0.5 over >= 2 docs
+            WITH s AS (
+                SELECT doc_id,
+                       'h' || CAST(doc_id % 25 AS VARCHAR) AS host,
+                       floor(len(list_distinct(lf)) * 1.0
+                             / greatest(len(lf), 1) * 64) / 64 AS score
+                FROM (
+                    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS lf
+                    FROM documents
+                )
+            ), p AS (
+                SELECT host FROM s GROUP BY host
+                HAVING avg(score) >= 0.5 AND count(*) >= 2
+            )
+            SELECT s.doc_id, s.host, s.score FROM s JOIN p USING (host)
+        """,
+        "pack_shards": """
+            -- offset packing replay: cumulative token sum per md5-twin
+            -- bucket (ROWS frame, (hash, doc_id) order), shard = the
+            -- 500-token block the document starts in
+            WITH d AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS h
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, h % 8 AS bucket,
+                   CAST(floor((SUM(n_tokens) OVER (
+                            PARTITION BY h % 8 ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / 500.0) AS BIGINT) AS shard
+            FROM d
         """,
         "rules_per_agent": """
             -- closed-form replay of the three-group robots body: the

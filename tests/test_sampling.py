@@ -1,0 +1,97 @@
+"""Training-pipeline table ops (operators/sampling.py): deterministic
+hash splits, domain-level quality filtering, token-budget shard
+packing. The driver oracles (dataset_split / host_quality_filter /
+pack_shards) pin the md5-twin forms; these tests pin semantics the SQL
+replay can't express — determinism under repartitioning, leakage
+control, packing bounds."""
+
+from pyspark.sql import functions as F
+
+from texting_robots_spark.operators.sampling import (
+    hash_split,
+    host_quality_filter,
+    pack_shards,
+)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(4000).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    out = hash_split(df, "key", [("train", 8), ("valid", 1), ("test", 1)])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    # integer weights normalize; hash lottery lands near 80/10/10
+    assert 0.74 <= counts["train"] / 4000 <= 0.86
+    assert counts["valid"] / 4000 <= 0.16 and counts["test"] / 4000 <= 0.16
+    # pure function of the key: repartitioned re-run is identical
+    again = {
+        r["key"]: r["split"]
+        for r in hash_split(
+            df.repartition(7), "key", [("train", 8), ("valid", 1), ("test", 1)]
+        ).collect()
+    }
+    first = {r["key"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_hash_split_by_host_prevents_leakage(spark):
+    """Splitting on a DOMAIN key must put every document of a host in
+    one split — near-dups within a host can never straddle train/test."""
+    docs = spark.range(300).select(
+        F.concat(F.lit("h"), (F.col("id") % 20).cast("string")).alias("host"),
+        F.col("id").alias("doc"),
+    )
+    out = hash_split(docs, "host", [("train", 0.5), ("test", 0.5)])
+    per_host = out.groupBy("host").agg(
+        F.countDistinct("split").alias("k")
+    ).collect()
+    assert all(r["k"] == 1 for r in per_host)
+
+
+def test_host_quality_filter_threshold_and_min_docs(spark):
+    rows = [
+        # good host: mean 0.75 over 2 docs -> kept
+        ("good", 1, 0.5), ("good", 2, 1.0),
+        # bad host: mean 0.25 -> dropped
+        ("bad", 3, 0.25), ("bad", 4, 0.25),
+        # lone host: mean 1.0 but only 1 doc -> dropped by min_docs=2
+        ("lone", 5, 1.0),
+    ]
+    docs = spark.createDataFrame(rows, "host string, doc_id long, score double")
+    kept = host_quality_filter(docs, min_mean_score=0.5, min_docs=2)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    # min_docs=1 admits the lone host
+    kept1 = host_quality_filter(docs, min_mean_score=0.5, min_docs=1)
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 2, 5}
+
+
+def test_pack_shards_budget_bound_and_determinism(spark):
+    docs = spark.range(500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        # 5..54 tokens per doc
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 50 + 5).cast("int"))).alias("text"),
+    )
+    out = pack_shards(docs, token_budget=200, n_buckets=4).cache()
+    rows = out.collect()
+    # every document assigned; n_tokens matches the generator
+    assert len(rows) == 500
+    assert all(r["n_tokens"] == int(r["doc_id"][1:]) % 50 + 5 for r in rows)
+    # packing bound: each (bucket, shard) holds < budget + max doc len
+    sums = (
+        out.groupBy("bucket", "shard")
+        .agg(F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("m"))
+        .collect()
+    )
+    assert all(r["t"] < 200 + r["m"] for r in sums)
+    # shards within a bucket are contiguous from 0
+    per_bucket = out.groupBy("bucket").agg(
+        F.min("shard").alias("lo"), F.countDistinct("shard").alias("k"),
+        F.max("shard").alias("hi"),
+    ).collect()
+    assert all(r["lo"] == 0 and r["hi"] == r["k"] - 1 for r in per_bucket)
+    # pure function of the data: repartitioned re-run identical
+    again = {
+        (r["doc_id"], r["bucket"], r["shard"])
+        for r in pack_shards(docs.repartition(9), token_budget=200, n_buckets=4).collect()
+    }
+    assert {(r["doc_id"], r["bucket"], r["shard"]) for r in rows} == again
+    out.unpersist()

@@ -1,0 +1,156 @@
+"""Training-pipeline table operators: deterministic dataset splits,
+domain-level quality filtering, and token-budget shard packing.
+
+The three operators a 100-TB training-data pipeline runs between
+dedup/quality-scoring and the trainer's data loader:
+
+- ``hash_split``: reproducible train/val/test assignment by key hash —
+  no sampling RNG, no driver state; a document lands in the same split
+  on every run, any cluster size, any partitioning (the property that
+  matters when the corpus is re-materialized).
+- ``host_quality_filter``: C4/RefinedWeb-style domain filtering — drop
+  every document from hosts whose MEAN quality signal is below a floor
+  (spam/SEO domains poison all their pages, not single ones).
+- ``pack_shards``: assign documents to fixed-token-budget training
+  shards with a cumulative-sum window inside hash buckets — each
+  bucket packs independently (no global sort, no sequential driver
+  loop), so packing parallelism == bucket count at any corpus size.
+
+All three are pure native expressions (zero Python in the row path)
+and carry the md5-twin convention (operators/dedup.py:base_hash_expr)
+so the driver's DuckDB oracles replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import base_hash_expr, tokenize
+
+__all__ = ["hash_split", "host_quality_filter", "pack_shards"]
+
+# resolution of the split lottery: weights are quantized to 1/10000
+_SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[Tuple[str, float]],
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic dataset split: adds a ``split`` column assigning
+    each row to one of ``splits`` = [(name, weight), ...] by the hash
+    of ``key_col``.
+
+    bucket = pmod(hash(key), 10000); the row takes the first split
+    whose cumulative weight range contains the bucket. Weights are
+    normalized, so (8, 1, 1) == (0.8, 0.1, 0.1). Rows with equal keys
+    always land in the same split (split-by-URL or split-by-domain is
+    the caller choosing ``key_col``), which is exactly what leakage
+    control needs: near-dup documents sharing a canonical key can
+    never straddle train/test.
+
+    Scale shape: one hash + one CASE per row — no shuffle, no RNG, no
+    sampling pass; stable under repartitioning and re-runs.
+    """
+    total = float(sum(w for _, w in splits))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    bucket = F.pmod(base_hash_expr(F.col(key_col), base_hash), F.lit(_SPLIT_BUCKETS))
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w / total * _SPLIT_BUCKETS
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def host_quality_filter(
+    docs: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    min_mean_score: float = 0.5,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Domain-level quality gate: keep only documents whose HOST passes
+    ``avg(score) >= min_mean_score`` over at least ``min_docs``
+    documents (hosts with fewer documents than the floor are dropped —
+    too little evidence to trust the domain).
+
+    The published C4/RefinedWeb recipes filter at the domain level
+    precisely because low-quality generators are host-correlated; a
+    per-document threshold lets a spam domain's best page through.
+
+    Scale shape: one map-side-combinable hash aggregate on host + one
+    join back on host (broadcastable while the passing-host list is
+    small; the planner decides from stats — no forced hint, mirroring
+    eligible_slice). No window, no skew point beyond host cardinality
+    itself.
+    """
+    passing = (
+        docs.groupBy(host_col)
+        .agg(
+            F.avg(F.col(score_col)).alias("_mean_score"),
+            F.count(F.lit(1)).alias("_n_docs"),
+        )
+        .where(
+            (F.col("_mean_score") >= F.lit(float(min_mean_score)))
+            & (F.col("_n_docs") >= F.lit(int(min_docs)))
+        )
+        .select(host_col)
+    )
+    return docs.join(passing, host_col, "left_semi")
+
+
+def pack_shards(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    token_budget: int = 2048,
+    n_buckets: int = 64,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards.
+
+    Adds (n_tokens, bucket, shard): documents are hashed into
+    ``n_buckets`` independent buckets, ordered deterministically inside
+    each bucket (hash, then key as tiebreak), and cut by start offset
+    in the bucket's concatenated token stream —
+    ``shard = floor((cumsum - n_tokens) / budget)``, i.e. a document
+    joins the shard its start offset falls in. A shard therefore holds
+    strictly less than ``budget + len(its last document)`` tokens (the
+    cut never splits a document; true greedy-reset packing is a
+    recursive scan that neither a window nor the SQL oracle can
+    express — offset packing gives the same ±one-document bound).
+    Shard identity is (bucket, shard).
+
+    This is the distributed shape of "pack the corpus into ~budget-
+    sized shards": one window per bucket, cumsum inside, NO global
+    sort and NO sequential packing loop — parallelism == n_buckets at
+    any corpus size, and the assignment is a pure function of the data
+    (re-runs and resumes produce identical shards). Documents longer
+    than the budget get a shard of their own (the cut never splits a
+    document; trainers chunk oversize docs downstream).
+    """
+    h = base_hash_expr(F.col(key_col).cast("string"), base_hash)
+    with_meta = docs.withColumn("n_tokens", F.size(tokenize(F.col(text_col)))).withColumn(
+        "bucket", F.pmod(h, F.lit(int(n_buckets)))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return with_meta.withColumn(
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(int(token_budget))).cast("long"),
+    )
