@@ -294,6 +294,40 @@ def main():
         dt = min(dt, time.time() - t0)
     queries["simhash_fingerprints"] = round(dt, 3)
 
+    # training-data prep pipeline: domain quality gate -> deterministic
+    # split -> token-budget shard packing, chained as one job over the
+    # sf documents (production xxhash64 forms; the md5 twins are the
+    # oracle-checked queries() entries)
+    from texting_robots_spark.operators.dedup import tokenize
+    from texting_robots_spark.operators.sampling import (
+        hash_split,
+        host_quality_filter,
+        pack_shards,
+    )
+
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    toks = tokenize(F.col("text"))
+    scored = docs_t.withColumn(
+        "score",
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)),
+    ).withColumn("host", F.col("source"))
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        prepped = hash_split(
+            host_quality_filter(scored, min_mean_score=0.4, min_docs=2),
+            "doc_id",
+            [("train", 0.9), ("holdout", 0.1)],
+        ).where(F.col("split") == "train")
+        pack_shards(prepped, token_budget=2048, n_buckets=cpus).groupBy(
+            "bucket", "shard"
+        ).count().count()
+        dt = min(dt, time.time() - t0)
+    queries["train_data_prep"] = round(dt, 3)
+
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
