@@ -89,3 +89,57 @@ def test_batch_handles_newlines_and_empties():
 )
 def test_batch_equals_fast_property(urls):
     assert prepare_urls_batch(urls) == [prepare_url_fast(u) for u in urls]
+
+
+# --- batched canonicalize: the fast-line sweep must equal the per-row fn
+
+from texting_robots_spark.urltools import canonicalize_url, canonicalize_urls_batch
+
+
+def test_canonicalize_batch_equals_per_row_on_edges():
+    cases = [
+        "https://host.example/p/1",            # fast path: identity
+        "https://a.b//x",                      # empty segment -> fallback
+        "https://a.b/./x",                     # dot segment -> fallback
+        "https://a.b/x/..",
+        "https://a",                           # no path -> fallback ('/' added)
+        "HTTPS://A.example/x",                 # uppercase -> fallback
+        "https://a.example:80/x",              # explicit port -> fallback
+        "https://a.example:443/x",
+        "https://u:p@a.example/x",             # credentials stripped
+        "https://a.example/x?b=2&a=1#f",       # query sort + frag strip
+        "https://a.example/x?",                # empty query dropped
+        "https://a.example/x y",               # needs encoding
+        "https://xn--x.example/päth",     # non-ASCII
+        "ftp://a.example/x",                   # non-http(s) -> None
+        "relative/path",
+        "",
+        None,
+        3.14,                                  # non-string -> None
+    ]
+    got = canonicalize_urls_batch(cases)
+    exp = [canonicalize_url(u) if isinstance(u, str) else None for u in cases]
+    assert got == exp
+
+
+def test_canonicalize_batch_handles_embedded_newlines():
+    urls = ["https://h.example/a", "bad\nurl", "https://h.example/b"]
+    got = canonicalize_urls_batch(urls)
+    assert got == [canonicalize_url(u) for u in urls]
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x17F),
+        max_size=60,
+    )
+)
+def test_canonicalize_batch_equals_per_row_property(tail):
+    urls = [
+        "https://host.example" + tail,
+        "https://host.example/" + tail,
+        tail,
+    ]
+    got = canonicalize_urls_batch(urls)
+    assert got == [canonicalize_url(u) for u in urls], repr(tail)

@@ -25,7 +25,6 @@ from pyspark.sql import types as T
 
 from ..robots_core import RobotsParseError, compile_robots, _STAR_RUN
 from ..urltools import (
-    canonicalize_url,
     prepare_url,
     prepare_url_fast,
     prepare_urls_batch,
@@ -357,8 +356,17 @@ def make_allowed_udf(rules_bc, on_parse_error: str = "disallow"):
 def canonicalize_udf(url: pd.Series) -> pd.Series:
     """Canonical URL for the seen-set key (north_rule): lowercase host,
     default-port drop, sorted query, fragment strip. None for
-    relative/non-http(s) links (they are dropped from the frontier)."""
-    return url.map(lambda u: canonicalize_url(u) if u is not None else None)
+    relative/non-http(s) links (they are dropped from the frontier).
+    One C-level sweep for the already-canonical majority, per-row
+    parser for the rest (urltools.canonicalize_urls_batch — measured
+    ~4x on plain link batches; this UDF runs on every extracted link
+    of every fetched page, the candidate path's biggest Python cost
+    after the gate)."""
+    from ..urltools import canonicalize_urls_batch
+
+    return pd.Series(
+        canonicalize_urls_batch(url.to_numpy()), index=url.index, dtype=object
+    )
 
 
 @F.pandas_udf(T.StringType())

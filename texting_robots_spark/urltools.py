@@ -355,6 +355,58 @@ def get_robots_url(url: str) -> str:
     return f"{parts.scheme}://{netloc}/robots.txt"
 
 
+# Fast-path line for canonicalize_urls_batch: a URL that serializes to
+# ITSELF under canonicalize_url — lowercase http(s) scheme, lowercase
+# ASCII reg-name host (no port, no credentials, no IP-literal brackets),
+# a '/'-rooted path over unreserved-ish chars with no '%', no query, no
+# fragment. Anything else (and any "/." dot-segment shape, checked
+# outside the regex) falls back to the full parser. The catch-all (.*)
+# second alternative makes every line yield exactly one match, like
+# _FAST_URL_LINE_RE above. Property-tested equal to the per-row form.
+_CANON_FAST_LINE_RE = re.compile(
+    r"^(?:(https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?/[A-Za-z0-9\-._~/!$&'()*+,;=:@]*)"
+    r"|(.*))$",
+    re.ASCII | re.MULTILINE,
+)
+
+
+def canonicalize_urls_batch(urls) -> list:
+    """``[canonicalize_url(u) for u in urls]`` with the already-canonical
+    majority case handled by ONE multiline regex sweep (the same trick
+    as prepare_urls_batch): a crawl frontier's links are overwhelmingly
+    plain lowercase absolute URLs that canonicalize to themselves, and
+    the per-row parser costs ~5us vs ~1us for a C-level line match.
+    Non-strings map to None; odd lines (uppercase, ports, queries,
+    fragments, percent-escapes, dot segments, embedded newlines) take
+    the exact per-row path. Property-tested equal to canonicalize_url.
+    """
+    urls = list(urls)
+    if not urls:
+        return []
+    strs = [u if isinstance(u, str) else "" for u in urls]
+    joined = "\n".join(strs)
+    if joined.count("\n") != len(urls) - 1:  # a URL contains '\n'
+        return [
+            canonicalize_url(u) if isinstance(u, str) else None for u in urls
+        ]
+    out: list = []
+    append = out.append
+    i = 0
+    for m in _CANON_FAST_LINE_RE.finditer(joined):
+        g = m.group(1)
+        if g is not None and "/." not in g and "//" not in g[8:]:
+            append(g)
+        else:
+            u = urls[i]
+            append(canonicalize_url(u) if isinstance(u, str) else None)
+        i += 1
+    if i != len(urls):  # desync (defensive) -> per-row
+        return [
+            canonicalize_url(u) if isinstance(u, str) else None for u in urls
+        ]
+    return out
+
+
 def canonicalize_url(url: str) -> Optional[str]:
     """Canonical URL for the seen-set hash (north_rule): lowercase
     scheme/host, default port dropped, dot-segments resolved, query
