@@ -63,13 +63,15 @@ def compact_frontier(
                 f"cuckoo filter over capacity: {n_dropped} keys dropped — "
                 f"increase CuckooConfig.n_buckets or n_partitions"
             )
-        done.write.mode("append").parquet(_archive_dir(store))
+        done.write.mode("append").option("compression", store.codec).parquet(
+            _archive_dir(store)
+        )
         n_q, n_a = queued.count(), done.count()
         store.write_snapshot(
             queued, filters=None, meta={**store.meta(), "compacted": True}
         )
         # cuckoo filters live beside the snapshot's bloom slot
-        filters.write.mode("overwrite").parquet(
+        filters.write.mode("overwrite").option("compression", store.codec).parquet(
             os.path.join(store.root, "cuckoo_filters")
         )
     finally:
@@ -157,7 +159,7 @@ def schedule_recrawl(
         .select("url_hash")
     )
     updated = delete_cuckoo(filters, present, cfg)
-    updated.write.mode("overwrite").parquet(
+    updated.write.mode("overwrite").option("compression", store.codec).parquet(
         os.path.join(store.root, "cuckoo_filters_next")
     )
     # atomic-ish swap via rename (same idea as the manifest commit)

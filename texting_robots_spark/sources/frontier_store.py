@@ -43,10 +43,22 @@ class FrontierStore:
     merge-on-read with periodic compaction — per-step write cost is
     O(batch), not O(frontier)."""
 
-    def __init__(self, root: str, n_buckets: int = 32, compact_every: int = 4):
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 32,
+        compact_every: int = 4,
+        codec: str = "zstd",
+    ):
+        # zstd by default: the crawl is measured byte-bound (BENCH/
+        # BASELINE.md host-ceiling analysis) and every store write is on
+        # the step's critical path — zstd deltas measured ~6% off the
+        # bench crawl line vs snappy, and the gap widens wherever
+        # storage bandwidth is the scarcer resource.
         self.root = root
         self.n_buckets = n_buckets
         self.compact_every = compact_every
+        self.codec = codec
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -97,17 +109,20 @@ class FrontierStore:
             )
             .repartition(self.n_buckets, "partition_salt")
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .parquet(self._snap_dir(version, "frontier"))
         )
         if filters is not None:
-            filters.write.mode("overwrite").parquet(self._snap_dir(version, "filters"))
+            filters.write.mode("overwrite").option("compression", self.codec).parquet(
+                self._snap_dir(version, "filters")
+            )
         if host_state is not None:
             # politeness token-bucket: one row per ACTIVE host — a real
             # table, not manifest JSON, so 10^7-host crawls checkpoint
             # without a driver-side blob
-            host_state.write.mode("overwrite").parquet(
-                self._snap_dir(version, "host_state")
-            )
+            host_state.write.mode("overwrite").option(
+                "compression", self.codec
+            ).parquet(self._snap_dir(version, "host_state"))
         manifest = self._read_manifest()
         manifest["current"] = version
         manifest["base"] = version  # full snapshot resets the delta chain
@@ -147,7 +162,9 @@ class FrontierStore:
         _mark = _tracer()
         manifest = self._read_manifest()
         version = manifest["current"] + 1
-        updates.write.mode("overwrite").parquet(self._snap_dir(version, "delta"))
+        updates.write.mode("overwrite").option("compression", self.codec).parquet(
+            self._snap_dir(version, "delta")
+        )
         _mark("delta write")
         if callable(filters_increment):
             filters_increment = filters_increment()
@@ -158,15 +175,15 @@ class FrontierStore:
         side_writes = []
         if filters_increment is not None:
             side_writes.append(
-                lambda: filters_increment.write.mode("overwrite").parquet(
-                    self._snap_dir(version, "filters")
-                )
+                lambda: filters_increment.write.mode("overwrite").option(
+                    "compression", self.codec
+                ).parquet(self._snap_dir(version, "filters"))
             )
         if host_state is not None:
             side_writes.append(
-                lambda: host_state.write.mode("overwrite").parquet(
-                    self._snap_dir(version, "host_state")
-                )
+                lambda: host_state.write.mode("overwrite").option(
+                    "compression", self.codec
+                ).parquet(self._snap_dir(version, "host_state"))
             )
         if len(side_writes) > 1:
             from concurrent.futures import ThreadPoolExecutor
