@@ -82,14 +82,22 @@ class RulesBroadcast:
         self._spark = spark
         self.broadcast = spark.sparkContext.broadcast(table)
         self.n_hosts = len(table)
+        self._delay_df: Optional[DataFrame] = None
 
     def delay_df(self) -> DataFrame:
-        """Small (host, crawl_delay) DataFrame for native broadcast joins."""
-        rows = [
-            (h, float(d) if d is not None else None)
-            for h, (_, d, _) in self.broadcast.value.items()
-        ]
-        return self._spark.createDataFrame(rows, "host string, crawl_delay double")
+        """Small (host, crawl_delay) DataFrame for native broadcast
+        joins. Built once and reused: every superstep joins it, and the
+        event-log profile (tools/step_profile.py) showed the per-step
+        ``parallelize`` re-creation as avoidable driver+stage cost."""
+        if self._delay_df is None:
+            rows = [
+                (h, float(d) if d is not None else None)
+                for h, (_, d, _) in self.broadcast.value.items()
+            ]
+            self._delay_df = self._spark.createDataFrame(
+                rows, "host string, crawl_delay double"
+            )
+        return self._delay_df
 
     def unpersist(self) -> None:
         self.broadcast.unpersist()
