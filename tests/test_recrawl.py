@@ -79,6 +79,65 @@ def test_compact_then_recrawl_roundtrip(spark, tmp_path):
     assert refetched > 0
 
 
+def test_ttl_recrawl_dataframe_path_equals_list_path(spark, tmp_path):
+    """TTL-driven recrawl at scale: stale_archived selects the archived
+    fetched rows older than the cutoff as a DataFrame (column-pruned
+    archive scan — no driver data), and schedule_recrawl accepts that
+    DataFrame directly, producing EXACTLY the rows the driver-list path
+    produces. A 10^8-URL recrawl must never round-trip a Python list."""
+    from texting_robots_spark.plans.recrawl import stale_archived
+
+    documents, robots, seeds = synth_universe(n_hosts=8, n_docs=150, n_seeds=12, seed=9)
+    docs_df = synth_documents_df(spark, documents).cache()
+    robots_df = synth_robots_df(spark, robots)
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.5,
+        bloom=BloomConfig(n_partitions=4, n_bits=1 << 16, n_hashes=4),
+    )
+
+    def crawl_and_compact(tag):
+        store = FrontierStore(str(tmp_path / tag), n_buckets=4)
+        run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=3)
+        compact_frontier(spark, store, CK)
+        return store
+
+    s_df, s_list = crawl_and_compact("df"), crawl_and_compact("list")
+
+    # cutoff mid-distribution: some archived fetches are stale, some not
+    cutoff = 11.0
+    stale = stale_archived(spark, s_df, cutoff)
+    n_stale = stale.count()
+    archived_fetched = (
+        spark.read.parquet(str(tmp_path / "df" / "archive"))
+        .where(F.col("state") == "fetched")
+        .count()
+    )
+    assert 0 < n_stale < archived_fetched  # the TTL actually selects
+
+    n1 = schedule_recrawl(spark, s_df, stale, CK)
+    urls = [r["url"] for r in stale_archived(spark, s_list, cutoff).collect()]
+    n2 = schedule_recrawl(spark, s_list, urls, CK)
+    assert n1 == n2 == n_stale
+
+    rows = lambda s: {
+        tuple(r)
+        for r in s.read_frontier(spark).drop("partition_salt").collect()
+    }
+    assert rows(s_df) == rows(s_list)
+    # cuckoo state identical too: the same fresh-candidate verdicts
+    probe = (
+        spark.read.parquet(str(tmp_path / "df" / "archive"))
+        .select("url_hash")
+        .distinct()
+    )
+    f1 = {r["url_hash"] for r in dedup_candidates_cuckoo(spark, s_df, probe, CK).collect()}
+    f2 = {r["url_hash"] for r in dedup_candidates_cuckoo(spark, s_list, probe, CK).collect()}
+    assert f1 == f2 and len(f1) == n_stale
+
+
 def test_span_invariant_through_crawl_and_archive(spark, tmp_path):
     """input_hint per-row invariant: the exact ordered (kind, text,
     media_ref) span sequence survives the crawl's fetch path plus a

@@ -18,8 +18,6 @@ Flow:
 
 from __future__ import annotations
 
-from typing import List
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,7 +25,12 @@ from ..functions.udfs import canonicalize_udf
 from ..operators.cuckoo import CuckooConfig, build_cuckoo, delete_cuckoo, probe_cuckoo
 from ..sources.frontier_store import FrontierStore
 
-__all__ = ["compact_frontier", "schedule_recrawl", "dedup_candidates_cuckoo"]
+__all__ = [
+    "compact_frontier",
+    "stale_archived",
+    "schedule_recrawl",
+    "dedup_candidates_cuckoo",
+]
 
 import os
 
@@ -96,10 +99,31 @@ def dedup_candidates_cuckoo(
     return probed.where(~F.col("maybe_seen")).drop("maybe_seen")
 
 
+def stale_archived(
+    spark: SparkSession, store: FrontierStore, older_than: float
+) -> DataFrame:
+    """URLs whose last fetch is stale: archived 'fetched' rows with
+    ``not_before <= older_than`` (not_before records fetch_time +
+    crawl_delay, so it IS the per-URL recency clock). The standard
+    recrawl driver — "re-fetch everything older than the TTL" — as a
+    column-pruned archive scan, no driver data. Feed the result
+    straight to ``schedule_recrawl`` (it accepts the DataFrame)."""
+    if not os.path.exists(_archive_dir(store)):
+        return spark.createDataFrame([], "url string")
+    return (
+        spark.read.parquet(_archive_dir(store))
+        .where(
+            (F.col("state") == "fetched")
+            & (F.col("not_before") <= F.lit(float(older_than)))
+        )
+        .select("url")
+    )
+
+
 def schedule_recrawl(
     spark: SparkSession,
     store: FrontierStore,
-    urls: List[str],
+    urls,  # list[str] | single-column DataFrame of raw URLs
     cfg: CuckooConfig,
     priority: float = 2.0,
 ) -> int:
@@ -108,8 +132,17 @@ def schedule_recrawl(
     Deletes their hashes from the cuckoo seen-set and MERGEs fresh
     'queued' rows into the frontier (upsert on url_hash, so rows still
     present in the hot frontier are reset rather than duplicated).
+
+    ``urls`` is a list[str] (small operator-supplied sets) OR a
+    single-column DataFrame of raw URLs — the distributed form: a
+    TTL-driven recrawl of 10^8 stale URLs (``stale_archived``) must
+    never round-trip through a driver-side Python list. Both paths
+    produce identical rows (pinned in tests/test_recrawl.py).
     """
-    raw = spark.createDataFrame([(u,) for u in urls], "raw string")
+    if isinstance(urls, DataFrame):
+        raw = urls.select(F.col(urls.columns[0]).alias("raw"))
+    else:
+        raw = spark.createDataFrame([(u,) for u in urls], "raw string")
     rows = (
         raw.withColumn("url", canonicalize_udf("raw"))
         .where(F.col("url").isNotNull())
