@@ -3,9 +3,15 @@ URLs — not replay pre-computed eligible sets — and still reproduce the
 batch crawl exactly: same (url_hash, fetch_time) fetch set across both
 steps AND the same discovered-URL set (NOTES_r2 caveat 5 closed)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
-from texting_robots_spark.operators.gate import RulesBroadcast, build_rules
+from texting_robots_spark.operators.gate import (
+    RulesBroadcast,
+    RulesTable,
+    build_rules,
+)
 from texting_robots_spark.operators.seen import BloomConfig
 from texting_robots_spark.plans.superstep import CrawlConfig, run_crawl
 from texting_robots_spark.sources.frontier_store import FrontierStore
@@ -17,7 +23,11 @@ from texting_robots_spark.sources.synth import (
 from texting_robots_spark.streaming.loop import run_stream_crawl
 
 
-def test_stream_crawl_loop_matches_batch_crawl(spark, tmp_path):
+@pytest.mark.parametrize("gate_mode", ["broadcast", "sharded"])
+def test_stream_crawl_loop_matches_batch_crawl(spark, tmp_path, gate_mode):
+    """Both gate modes (round-5 verdict: the streaming path used to be
+    broadcast-only): the sharded RulesTable cogroup gate must reproduce
+    the batch crawl bit-for-bit exactly like the broadcast gate."""
     documents, robots, seeds = synth_universe(
         n_hosts=10, n_docs=200, n_seeds=16, seed=7
     )
@@ -53,8 +63,13 @@ def test_stream_crawl_loop_matches_batch_crawl(spark, tmp_path):
     assert len(batch_fetch) > 5 and len(batch_urls) > len(batch_fetch)
 
     # --- streaming loop: seeds in, URLs discovered by feedback ----------
+    stream_rules = (
+        rules
+        if gate_mode == "broadcast"
+        else RulesTable(build_rules(robots_df, cfg.agent))
+    )
     res = run_stream_crawl(
-        spark, docs_df, rules, seeds, cfg, n_steps=2,
+        spark, docs_df, stream_rules, seeds, cfg, n_steps=2,
         workdir=str(tmp_path / "loop"),
     )
     assert res["steps"] == 2
@@ -185,8 +200,23 @@ def test_stream_crawl_restart_resumes_from_checkpoint(spark, tmp_path):
     assert len(got) == len(batch_fetch)
     assert set(got) == batch_fetch
 
+    # round-5 ADVICE: a resume whose target is ALREADY met must return
+    # immediately from the durable epoch markers — no stream start, no
+    # timeout_sec wait (the old shape blocked the full timeout because
+    # no batch was left to fire the completion sentinel)
+    import time as _time
 
-def test_crash_replay_mid_commit_reproduces_batch_crawl(spark, tmp_path):
+    t_start = _time.time()
+    again = run_stream_crawl(
+        spark, docs_df, rules, seeds, cfg, n_steps=3, workdir=wd,
+        timeout_sec=60.0,
+    )
+    assert again["steps"] == 3
+    assert _time.time() - t_start < 5.0
+
+
+@pytest.mark.parametrize("gate_mode", ["broadcast", "sharded"])
+def test_crash_replay_mid_commit_reproduces_batch_crawl(spark, tmp_path, gate_mode):
     """Crash-injection proof of full-batch idempotence (round-4 ADVICE +
     VERDICT r5 item: the epoch redesign must be DEMONSTRATED, not
     reasoned). Drives the real foreachBatch function directly via
@@ -205,7 +235,9 @@ def test_crash_replay_mid_commit_reproduces_batch_crawl(spark, tmp_path):
     shape fails (append-mode out/ duplicates the crashed attempt's
     fetched rows). Candidates enter with maybe_seen=True for every row
     (a degenerate bloom with FPR 1.0): admission then rides entirely on
-    the epoch-partitioned exact backstop, the surface under test."""
+    the epoch-partitioned exact backstop, the surface under test.
+    Parametrized over both gate modes: the sharded cogroup gate's
+    replay behavior must match the broadcast gate's."""
     import os
 
     import pytest
@@ -264,9 +296,15 @@ def test_crash_replay_mid_commit_reproduces_batch_crawl(spark, tmp_path):
     )
     state: dict = {}
 
+    stream_rules = (
+        rules
+        if gate_mode == "broadcast"
+        else RulesTable(build_rules(robots_df, cfg.agent))
+    )
+
     def proc(fail_after=None):
         return make_batch_processor(
-            spark, docs_df, rules, cfg, workdir, n_steps=2,
+            spark, docs_df, stream_rules, cfg, workdir, n_steps=2,
             state=state, fail_after=fail_after,
         )
 
@@ -308,25 +346,43 @@ def test_prior_epoch_paths_exclude_own_and_later_epochs(spark, tmp_path):
     replayed micro-batch runs under the SAME batchId, so the anti-join
     read set must exclude its own epoch partition (its possibly-half-
     committed rows) — otherwise the replay drops its own URLs forever.
-    Also: empty epoch dirs (crash between mkdir and file commit) are
-    skipped, and re-writing an epoch is idempotent overwrite."""
+    Completeness is keyed on the _COMMITTED marker (round-5 ADVICE —
+    part-file presence only worked for empty frames via SPARK-23271's
+    schema-only file): a dir with parquet but no marker (crash between
+    the write and the marker) and an empty dir (crash between mkdir and
+    any commit) are both skipped, and re-writing an epoch is idempotent
+    overwrite."""
     import os
 
-    from texting_robots_spark.streaming.loop import _prior_epoch_paths
+    from texting_robots_spark.streaming.loop import (
+        _mark_committed,
+        _prior_epoch_paths,
+    )
 
     seen = str(tmp_path / "seen")
     df = spark.range(5).select(F.col("id").alias("url_hash"))
     for epoch in (0, 1, 3):
-        df.write.mode("overwrite").parquet(os.path.join(seen, f"epoch={epoch}"))
+        d = os.path.join(seen, f"epoch={epoch}")
+        df.write.mode("overwrite").parquet(d)
+        _mark_committed(d)
     os.makedirs(os.path.join(seen, "epoch=2"))  # crashed before commit
+    # crashed AFTER the parquet write but BEFORE the marker: incomplete
+    df.write.mode("overwrite").parquet(os.path.join(seen, "epoch=4"))
 
-    # batch 3 replaying: must see ONLY epochs 0 and 1 — not its own
-    # epoch (3), not the empty dir (2)
+    # batch 5 replaying: must see ONLY epochs 0, 1, 3 — not the empty
+    # dir (2), not the unmarked dir (4)
+    got = _prior_epoch_paths(seen, 5)
+    assert [os.path.basename(p) for p in got] == ["epoch=0", "epoch=1", "epoch=3"]
+    # batch 3 replaying: its own epoch is excluded even though marked
     got = _prior_epoch_paths(seen, 3)
     assert [os.path.basename(p) for p in got] == ["epoch=0", "epoch=1"]
     # first batch: nothing prior
     assert _prior_epoch_paths(seen, 0) == []
     # epoch overwrite is idempotent: same rows after a double write
-    df.write.mode("overwrite").parquet(os.path.join(seen, "epoch=1"))
+    # (and the overwrite drops the stale marker until re-marked)
+    d1 = os.path.join(seen, "epoch=1")
+    df.write.mode("overwrite").parquet(d1)
+    assert _prior_epoch_paths(seen, 2) == [os.path.join(seen, "epoch=0")]
+    _mark_committed(d1)
     rows = spark.read.parquet(*_prior_epoch_paths(seen, 2)).count()
     assert rows == 10  # epochs 0+1, 5 rows each — no append duplication

@@ -245,10 +245,20 @@ def test_skew_guard_holds_past_default_window_group_limit_threshold(spark):
     """ADVICE r4 (medium): InferWindowGroupLimit only fires when the
     literal rank bound is <= spark.sql.optimizer.windowGroupLimitThreshold
     (default 1000) — per_host_k=1024+ (tools/cluster_bench.py's CB_K
-    default) would silently lose the map-side skew guard. schedule_batch
-    now raises the session threshold to per_host_k, so the guard holds
-    at ANY k; pinned here at k=1500."""
-    from texting_robots_spark.plans.superstep import CrawlConfig, schedule_batch
+    default) would silently lose the map-side skew guard. Round-5 ADVICE:
+    schedule_batch no longer mutates session conf (Catalyst reads the
+    threshold at ACTION time, so a planner-local override can't be
+    scoped); instead it fails loud, and callers wrap build+action in
+    window_group_limit_scope — which frontier_step and the streaming
+    loop do. Pinned here at k=1500: the scope keeps the guard, the bare
+    call raises, and the session conf is restored afterwards."""
+    import pytest
+
+    from texting_robots_spark.plans.superstep import (
+        CrawlConfig,
+        schedule_batch,
+        window_group_limit_scope,
+    )
 
     key = "spark.sql.optimizer.windowGroupLimitThreshold"
     prev = spark.conf.get(key, "1000")
@@ -260,13 +270,21 @@ def test_skew_guard_holds_past_default_window_group_limit_threshold(spark):
             (F.pmod(F.col("id") * 37, F.lit(1000)) / 1000.0).alias("priority"),
         )
         cfg = CrawlConfig(per_host_k=1500, step_seconds=60.0, default_delay=0.01)
-        out = schedule_batch(eligible, None, cfg, t0=0.0)
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "WindowGroupLimit" in plan, plan[:2000]
-        assert "Partial" in plan and "Final" in plan, plan[:2000]
-        assert int(spark.conf.get(key)) >= 1500
-        # the k=1500 cut itself still binds correctly
-        assert out.count() == 3 * 1500
+        # a bare schedule_batch above the threshold fails loud instead of
+        # silently losing the map-side bound
+        with pytest.raises(ValueError, match="window_group_limit_scope"):
+            schedule_batch(eligible, None, cfg, t0=0.0)
+        with window_group_limit_scope(spark, cfg.per_host_k):
+            out = schedule_batch(eligible, None, cfg, t0=0.0)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "WindowGroupLimit" in plan, plan[:2000]
+            assert "Partial" in plan and "Final" in plan, plan[:2000]
+            assert int(spark.conf.get(key)) >= 1500
+            # the k=1500 cut itself still binds correctly (the action
+            # runs INSIDE the scope, where the raised threshold holds)
+            assert out.count() == 3 * 1500
+        # the override does not leak past the scope (round-5 ADVICE)
+        assert spark.conf.get(key) == "1000"
     finally:
         spark.conf.set(key, prev)
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -66,6 +67,7 @@ __all__ = [
     "sitemap_seeds",
     "eligible_slice",
     "schedule_batch",
+    "window_group_limit_scope",
     "link_candidates",
     "refresh_priorities",
     "apply_indegree_refresh",
@@ -75,6 +77,35 @@ __all__ = [
 ]
 
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+
+_WGL_KEY = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+
+@contextmanager
+def window_group_limit_scope(spark: SparkSession, k: int):
+    """Temporarily raise ``spark.sql.optimizer.windowGroupLimitThreshold``
+    to at least ``k`` for the duration of the block.
+
+    The InferWindowGroupLimit rewrite (schedule_batch's map-side skew
+    guard) only fires when the literal rank bound is <= the threshold,
+    and Catalyst reads the conf at ACTION time — not when the DataFrame
+    is built. So the raise must stay in effect until the plan actually
+    runs, and a set-and-restore inside the planner function would be a
+    no-op. This scope is the supported way to run a per_host_k above the
+    session threshold: wrap plan construction AND the action that
+    executes it (frontier_step wraps each superstep's build+commit; the
+    streaming loop wraps each foreachBatch body). Restoring on exit
+    keeps the override from leaking into unrelated queries in the same
+    session (round-5 ADVICE)."""
+    prev = spark.conf.get(_WGL_KEY, "1000")
+    if k <= int(prev):
+        yield
+        return
+    spark.conf.set(_WGL_KEY, str(int(k)))
+    try:
+        yield
+    finally:
+        spark.conf.set(_WGL_KEY, prev)
 
 
 # When set to a dict, _tracer accumulates per-phase wall seconds into it
@@ -120,6 +151,14 @@ class CrawlConfig:
     max_depth: int = 50
     bloom: BloomConfig = field(default_factory=BloomConfig)
     on_parse_error: str = "disallow"
+    # On the first step of a crawl session, sample a few docs rows and
+    # verify a PRECOMPUTED docs.url_hash actually equals xxhash64(url)
+    # (the frontier's convention): a docs table hashed with a different
+    # convention (e.g. this repo's md5 oracle twin) would make the fetch
+    # inner join silently match nothing (round-5 ADVICE). Cost: one
+    # 16-row job once per crawl. Set False only when the docs store is
+    # known-conformant and the scan head is expensive.
+    verify_docs_hash: bool = True
     # link-graph priority refresh cadence: every k supersteps, re-weight
     # QUEUED frontier priorities by observed in-degree (refresh_priorities
     # formula, alpha=refresh_alpha). None (default) = off. When set,
@@ -277,12 +316,21 @@ def schedule_batch(
     # bound is <= spark.sql.optimizer.windowGroupLimitThreshold (default
     # 1000, verified on Spark 4.1.2): a per_host_k above it would
     # silently lose the map-side skew guard and send a hot host's whole
-    # queue to one window partition. Raise the threshold to per_host_k
-    # so the guard holds at ANY k (pinned by the k>1000 plan test).
+    # queue to one window partition. Catalyst reads the conf at ACTION
+    # time, so this planner cannot scope an override itself (round-5
+    # ADVICE: the old in-place session mutation leaked past the step).
+    # Fail loud instead: callers with k above the threshold wrap the
+    # build AND the action in window_group_limit_scope (frontier_step
+    # and the streaming loop do; pinned by the k>1000 plan test).
     sess = eligible.sparkSession
-    _thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
-    if cfg.per_host_k > int(sess.conf.get(_thr_key, "1000")):
-        sess.conf.set(_thr_key, str(cfg.per_host_k))
+    if cfg.per_host_k > int(sess.conf.get(_WGL_KEY, "1000")):
+        raise ValueError(
+            f"schedule_batch: per_host_k={cfg.per_host_k} exceeds "
+            f"{_WGL_KEY}={sess.conf.get(_WGL_KEY, '1000')} — the map-side "
+            f"skew guard would silently not fire. Wrap plan build and the "
+            f"consuming action in window_group_limit_scope(spark, "
+            f"per_host_k)."
+        )
     if delays is None:
         delay_join = eligible.withColumn("crawl_delay", F.lit(None).cast("double"))
     elif broadcast_delays:
@@ -446,6 +494,33 @@ def eligible_slice(
     return eligible
 
 
+def _verify_docs_hash_convention(docs: DataFrame) -> None:
+    """Spot-check that a precomputed ``docs.url_hash`` follows the
+    frontier's xxhash64(url) convention (round-5 ADVICE: a docs table
+    hashed differently makes the fetch join silently fetch nothing).
+    Reads the head of one partition (limit before the check, so the
+    job never scans past the first 16 usable rows)."""
+    sample = (
+        docs.select("url", "url_hash")
+        .where(F.col("url").isNotNull() & F.col("url_hash").isNotNull())
+        .limit(16)
+        .select("url", "url_hash", F.xxhash64("url").alias("_expect"))
+        .collect()
+    )
+    for r in sample:
+        if r["url_hash"] != r["_expect"]:
+            raise ValueError(
+                f"docs.url_hash does not follow the frontier's "
+                f"xxhash64(url) convention (url={r['url']!r} carries "
+                f"url_hash={r['url_hash']}, xxhash64 gives "
+                f"{r['_expect']}): the fetch join would match nothing. "
+                f"Recompute the column (or drop it and let frontier_step "
+                f"derive it in-scan), or set "
+                f"CrawlConfig.verify_docs_hash=False only if the store "
+                f"is known-conformant."
+            )
+
+
 def frontier_step(
     spark: SparkSession,
     store: FrontierStore,
@@ -453,7 +528,23 @@ def frontier_step(
     rules,  # RulesBroadcast | RulesTable (sharded, broadcast-free)
     cfg: CrawlConfig,
 ) -> dict:
-    """Run one superstep against the current snapshot; returns metrics."""
+    """Run one superstep against the current snapshot; returns metrics.
+
+    The whole step (plan build AND the committing action) runs inside
+    window_group_limit_scope so per_host_k above the session's
+    windowGroupLimitThreshold keeps the map-side skew guard without
+    permanently mutating session conf."""
+    with window_group_limit_scope(spark, cfg.per_host_k):
+        return _frontier_step_impl(spark, store, docs, rules, cfg)
+
+
+def _frontier_step_impl(
+    spark: SparkSession,
+    store: FrontierStore,
+    docs: DataFrame,
+    rules,
+    cfg: CrawlConfig,
+) -> dict:
     _mark = _tracer()
     meta = store.meta()
     step = int(meta.get("step", -1)) + 1
@@ -536,6 +627,8 @@ def frontier_step(
     # pairs and makes a 64-bit collision (expected ~3 at 10^10 URLs)
     # drop the collided row instead of fetching the wrong document.
     if "url_hash" in docs.columns:
+        if cfg.verify_docs_hash and step == 0:
+            _verify_docs_hash_convention(docs)
         docs_keyed = docs.select(
             "url_hash", F.col("url").alias("_doc_url"), "doc_id", "spans"
         )
