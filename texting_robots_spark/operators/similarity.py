@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .dedup import capped_bucket_pairs
+
 __all__ = [
     "with_unit_norm",
     "cosine_topk",
@@ -476,6 +478,8 @@ def embedding_near_dups(
     n_tables: int = 8,
     n_cells: int = 16,
     centroids=None,
+    max_bucket_size=None,
+    on_oversize: str = "drop",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
     id_a < id_b and cos_sim >= threshold — the dedup family that catches
@@ -493,7 +497,18 @@ def embedding_near_dups(
     - 'ivf': candidates = pairs sharing a coarse k-means cell (tighter
       candidate sets when the corpus is clustered; pass pre-trained
       ``centroids`` or they are trained here).
-    """
+
+    ``max_bucket_size`` (lsh/ivf only) is the hot-bucket safety valve
+    (operators/dedup.py:capped_bucket_pairs — VERDICT r5 #1): an
+    un-capped bucket self-join emits ~m^2/2 candidates from a bucket
+    with m members, and templated/zero embeddings saturate hyperplane
+    buckets at web scale. Default ``on_oversize='drop'`` here (unlike
+    the text sketches' 'collapse'): a saturated hyperplane/IVF bucket
+    is LOW-INFORMATION — membership barely narrows cosine — so recall
+    for its members is better served by their other tables than by
+    rep-centric edges; 'collapse' is still available, and every
+    surviving edge is exact-cosine verified either way. Capped output
+    gains a ``via_representative`` column."""
     e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if method == "exact":
         a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
@@ -535,13 +550,12 @@ def embedding_near_dups(
                 )
             ).alias("_tb"),
         ).select("_id", "_tb.t", "_tb.b")
-        a = keyed.select(F.col("_id").alias("id_a"), "t", "b")
-        b = keyed.select(F.col("_id").alias("id_b"), "t", "b")
-        cand = (
-            a.join(b, ["t", "b"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+        cand = capped_bucket_pairs(
+            keyed,
+            "_id",
+            ["t", "b"],
+            max_bucket_size=max_bucket_size,
+            on_oversize=on_oversize,
         )
         pairs = cand.join(
             e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
@@ -552,17 +566,42 @@ def embedding_near_dups(
                 embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
             )
         keyed = ivf_assign(e, centroids, vec_col="_v", cell_col="_c")
-        a = keyed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_c")
-        b = keyed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_c")
-        pairs = a.join(b, "_c").where(F.col("id_a") < F.col("id_b"))
+        if max_bucket_size is not None:
+            # narrow (id, cell) keys through the capped join; vectors
+            # re-join on the deduped pairs (same rationale as lsh)
+            cand = capped_bucket_pairs(
+                keyed.select("_id", "_c"),
+                "_id",
+                ["_c"],
+                max_bucket_size=max_bucket_size,
+                on_oversize=on_oversize,
+            )
+            pairs = cand.join(
+                e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")),
+                "id_a",
+            ).join(
+                e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")),
+                "id_b",
+            )
+        else:
+            a = keyed.select(
+                F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_c"
+            )
+            b = keyed.select(
+                F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_c"
+            )
+            pairs = a.join(b, "_c").where(F.col("id_a") < F.col("id_b"))
     else:
         raise ValueError(f"unknown method: {method!r}")
     sim = F.round(
         _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
         round_digits,
     )
+    out_cols = ["id_a", "id_b", "cos_sim"]
+    if max_bucket_size is not None and method in ("lsh", "ivf"):
+        out_cols.append("via_representative")
     return (
         pairs.withColumn("cos_sim", sim)
         .where(F.col("cos_sim") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "cos_sim")
+        .select(*out_cols)
     )
