@@ -576,6 +576,25 @@ def _minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_candidates(docs, n_hashes=4, band_size=2, base_hash="md5")
 
 
+def _minhash_lsh_capped(spark, sf_dir):
+    """The hot-bucket safety valve exercised end to end (VERDICT r5 #1,
+    operators/dedup.py:capped_bucket_pairs): same MinHash+LSH pipeline
+    as minhash_lsh_pairs but with max_bucket_size=3, which BINDS at
+    sf0.01 (band-bucket sizes reach 5) — saturated buckets collapse to
+    star edges on their min-id representative, marked
+    via_representative=true; unsaturated buckets stay exact pairwise.
+    The DuckDB oracle replays the collapse arithmetic (bucket sizes,
+    min-id rep, pairwise-beats-representative merge) in closed form."""
+    from texting_robots_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return minhash_lsh_candidates(
+        docs, n_hashes=4, band_size=2, base_hash="md5", max_bucket_size=3
+    )
+
+
 def _simhash_fingerprints(spark, sf_dir):
     """60-bit SimHash with the md5-derived base hash (DuckDB-checkable;
     production default is 64-bit xxhash64 — identical bit-vote plan)."""
@@ -1519,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketches + robots derivations (oracled via md5 variants /
         # generator-arithmetic oracles)
         "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "minhash_lsh_capped": _minhash_lsh_capped,
         "simhash_fingerprints": _simhash_fingerprints,
         "sitemap_collection": _sitemap_collection,
         "robots_url_derivation": _robots_url_derivation,
@@ -2020,6 +2040,68 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
                         AND a.doc_id < b.doc_id
+        """,
+        "minhash_lsh_capped": """
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(ts) - 3, 0) + 1),
+                           i -> array_to_string(ts[i+1 : i+3], ' ')
+                       )) AS shs
+                FROM toks
+            ), base AS (
+                SELECT doc_id,
+                       list_transform(shs, s ->
+                           CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                           % 2147483647) AS hs
+                FROM sh
+            ), sig AS (
+                SELECT doc_id,
+                       list_min(list_transform(hs, h ->
+                           (2654435761 * h + 374761393) % 2305843009213693951)) AS s0,
+                       list_min(list_transform(hs, h ->
+                           (2246822519 * h + 3550635116) % 2305843009213693951)) AS s1,
+                       list_min(list_transform(hs, h ->
+                           (3266489917 * h + 4251993797) % 2305843009213693951)) AS s2,
+                       list_min(list_transform(hs, h ->
+                           (668265263 * h + 3042594569) % 2305843009213693951)) AS s3
+                FROM base
+            ), bands AS (
+                SELECT doc_id, 0 AS band,
+                       CONCAT_WS(',', CAST(s0 AS VARCHAR), CAST(s1 AS VARCHAR)) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band,
+                       CONCAT_WS(',', CAST(s2 AS VARCHAR), CAST(s3 AS VARCHAR)) AS bucket
+                FROM sig
+            ), sized AS (
+                SELECT doc_id, band, bucket,
+                       count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+            ), small_pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, FALSE AS via_rep
+                FROM sized a
+                JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+                WHERE a.bsz <= 3
+            ), reps AS (
+                SELECT band, bucket, min(doc_id) AS rep
+                FROM sized WHERE bsz > 3 GROUP BY band, bucket
+            ), star AS (
+                SELECT r.rep AS id_a, s.doc_id AS id_b, TRUE AS via_rep
+                FROM sized s
+                JOIN reps r ON s.band = r.band AND s.bucket = r.bucket
+                WHERE s.doc_id <> r.rep
+            )
+            SELECT id_a, id_b,
+                   (min(CAST(via_rep AS INT)) = 1) AS via_representative
+            FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star)
+            GROUP BY id_a, id_b
         """,
         "simhash_fingerprints": f"""
             WITH hs_t AS (
