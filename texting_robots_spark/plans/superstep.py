@@ -560,7 +560,7 @@ def _frontier_step_impl(
 
     # --- 2. per-host top-k + politeness schedule --------------------------
     # No dedicated count job: the scheduled count rides the gate
-    # Observation below and is collected by the commit's delta write —
+    # Observation below and is collected by the step-compute action —
     # the schedule is computed exactly once, inside the main pipeline.
     if isinstance(rules, RulesTable):
         delays, bcast = rules.delay_frame(), False
@@ -574,7 +574,7 @@ def _frontier_step_impl(
     # fetched/disallowed counters — and, below the partition-count
     # threshold, the whole per-partition lineage — ride the plan as one
     # Observation: collected by the FIRST action that computes `gated`
-    # (the commit's delta write), no dedicated aggregate jobs per step
+    # (the step-compute cache fill), no dedicated aggregate jobs per step
     from pyspark.sql import Observation
 
     obs_gate = Observation()
@@ -665,11 +665,21 @@ def _frontier_step_impl(
     # --- 6. seen-set dedup: bloom prefilter + exact anti-join --------------
     # the exact check probes the frontier's KEY SET (store.read_keys:
     # base + delta url_hash columns, no merge-on-read join chain — at
-    # scale a single-column parquet scan, not k anti-joins of full rows)
+    # scale a single-column parquet scan, not k anti-joins of full rows).
+    # Bloom increments are DEFERRED to compaction (r6): the base filters
+    # cover keys up to the base snapshot only, so bloom-negative
+    # candidates additionally anti-join the delta chain's key columns —
+    # O(compact_every x batch) rows, a native column scan — instead of
+    # every step paying a python bloom-build stage plus a filter write.
     seen_keys = store.read_keys(spark)
+    pending = store.pending_deltas()
     if filters is not None:
         probed = probe_bloom(candidates, filters, cfg.bloom)
         definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+        if pending:
+            definite_new = definite_new.join(
+                store.read_keys(spark, deltas_only=True), "url_hash", "left_anti"
+            )
         maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
         confirmed_new = maybe.join(seen_keys, "url_hash", "left_anti")
         new_rows = definite_new.unionByName(confirmed_new)
@@ -719,15 +729,31 @@ def _frontier_step_impl(
         .unionByName(new_rows)
         .coalesce(store.n_buckets)
     )
-    # bloom increment for just this step's new URLs; the store keeps
-    # increments as extra filter rows until compaction merges them.
-    # Lazy: resolved by commit_step AFTER the delta write fires the
-    # observations, so a step with zero new URLs skips the bloom job
-    # and its write entirely.
+    # DEFERRED bloom maintenance (r6): non-compacting steps write no
+    # filter increment at all — their new keys ride the delta-key
+    # anti-join above until compaction. On the step whose commit WILL
+    # compact, one catch-up increment covers every key the chain added
+    # since the base (prior delta keys + this step's new rows; done/
+    # denied keys were queued before, so base bloom + delta keys already
+    # cover them). Lazy: resolved by commit_step AFTER the delta write
+    # fires the observations.
+    compact_due = pending + 1 >= store.compact_every
+
     def filters_increment():
-        if int(obs_new.get["n"] or 0) == 0:
+        if not compact_due or filters is None:
+            # no base bloom -> never write a partial-coverage increment
+            # (a filters table that misses base keys would let the probe
+            # mark seen URLs definite-new); the no-bloom mode stays pure
+            # anti-join end to end
             return None
-        return build_bloom(new_rows, cfg.bloom)
+        uncovered = new_rows.select("url_hash")
+        if pending:
+            uncovered = uncovered.unionByName(
+                store.read_keys(spark, deltas_only=True)
+            )
+        elif int(obs_new.get["n"] or 0) == 0:
+            return None
+        return build_bloom(uncovered, cfg.bloom)
 
     # --- 8. politeness state, metrics, lineage, checkpoint ------------------
     # politeness advance from the rows actually scheduled, not the cap.
@@ -747,12 +773,21 @@ def _frontier_step_impl(
     else:
         new_host_state = state_updates
     _mark("plan built")
-    # DELTA commit: per-step write cost is O(batch) rows + one bloom
-    # increment, not a full-frontier rewrite; the store compacts to a
-    # full base every compact_every steps (merge-on-read in between).
-    # Committing FIRST also fires both observations (the delta write is
-    # the first action over gated/new_rows), so the metric counters
-    # below are free.
+    # Materialize the step's caches BEFORE committing: one count over
+    # new_rows computes the whole schedule+gate+fetch+links+seen
+    # pipeline into the gated/new_rows caches (both Observations fire
+    # here), so the commit phases below time the WRITE itself. Round 5
+    # read "delta write 13s" as a write-bound step, but that number was
+    # lazy-execution attribution — the write was the first action over
+    # the step plan. Same total compute (the caches were populated by
+    # the write before; now by the count), one extra cache-scan
+    # aggregate, honest phase boundaries.
+    new_rows.count()
+    _mark("step compute (schedule+gate+fetch+links+seen)")
+    # DELTA commit: per-step write cost is O(batch) rows, not a
+    # full-frontier rewrite; the store compacts to a full base every
+    # compact_every steps (merge-on-read in between), and the one bloom
+    # increment per compaction cycle rides that commit.
     store.commit_step(
         spark,
         updates,

@@ -37,11 +37,19 @@ FRONTIER_DDL = (
 
 class FrontierStore:
     """``compact_every`` controls the delta-snapshot cadence: a superstep
-    commits only its UPDATED rows (plus a bloom increment) as a delta;
-    after that many deltas the reconstructed frontier is rewritten as a
-    new full base. This is the parquet equivalent of Iceberg's
-    merge-on-read with periodic compaction — per-step write cost is
-    O(batch), not O(frontier)."""
+    commits only its UPDATED rows as a delta; after that many deltas the
+    reconstructed frontier is rewritten as a new full base. This is the
+    parquet equivalent of Iceberg's merge-on-read with periodic
+    compaction — per-step write cost is O(batch), not O(frontier).
+
+    Bloom filter increments are DEFERRED to the compaction cadence (r6):
+    the base snapshot's filters cover base keys only, readers anti-join
+    the delta chain's key columns for the uncovered slice
+    (read_keys(deltas_only=True)), and the commit that triggers
+    compaction carries one catch-up increment. A per-step increment
+    would cost a python bloom-build stage plus a filter write on every
+    commit; deferral makes that one stage per compact_every steps and
+    cuts per-step write amplification."""
 
     def __init__(
         self,
@@ -82,6 +90,12 @@ class FrontierStore:
 
     def current_version(self) -> int:
         return self._read_manifest()["current"]
+
+    def pending_deltas(self) -> int:
+        """Number of deltas committed since the last full base — the
+        length of the merge-on-read chain. ``pending_deltas() + 1 >=
+        compact_every`` means the NEXT commit_step will compact."""
+        return len(self._read_manifest().get("deltas", []))
 
     def meta(self) -> dict:
         return self._read_manifest().get("meta", {})
@@ -267,7 +281,7 @@ class FrontierStore:
             .drop("_rn", "_v")
         )
 
-    def read_keys(self, spark: SparkSession) -> DataFrame:
+    def read_keys(self, spark: SparkSession, deltas_only: bool = False) -> DataFrame:
         """All url_hash keys present in the frontier (base + deltas).
 
         Membership-only view for seen-checks: deltas UPSERT rows and
@@ -276,10 +290,21 @@ class FrontierStore:
         url_hash column — no merge-on-read join chain. The scan is
         column-pruned to url_hash (at scale: one parquet column instead
         of k anti-joins over full rows). May contain duplicates; fine
-        for anti-join/semi-join probes."""
+        for anti-join/semi-join probes.
+
+        ``deltas_only=True`` returns just the keys the delta chain added
+        since the base — the slice the base bloom filters do NOT cover
+        under the deferred-increment policy (see commit_step): the
+        superstep anti-joins its bloom-negative candidates against this
+        small set, and compaction builds one catch-up bloom increment
+        from it. O(compact_every x batch) rows by construction."""
         manifest = self._read_manifest()
         base = manifest.get("base", manifest["current"])
-        paths = [self._snap_dir(base, "frontier")] if base >= 0 else []
+        paths = (
+            []
+            if deltas_only or base < 0
+            else [self._snap_dir(base, "frontier")]
+        )
         paths += [self._snap_dir(d, "delta") for d in manifest.get("deltas", [])]
         if not paths:
             return spark.createDataFrame([], "url_hash long")
