@@ -176,38 +176,39 @@ class FrontierStore:
         _mark = _tracer()
         manifest = self._read_manifest()
         version = manifest["current"] + 1
-        updates.write.mode("overwrite").option("compression", self.codec).parquet(
-            self._snap_dir(version, "delta")
-        )
-        _mark("delta write")
-        if callable(filters_increment):
-            filters_increment = filters_increment()
-        # the filters/host_state side writes are small jobs over data the
-        # delta write just cached — run them concurrently (Spark schedules
-        # jobs from separate driver threads fine) so the step pays one
-        # small-write latency, not two
-        side_writes = []
-        if filters_increment is not None:
-            side_writes.append(
-                lambda: filters_increment.write.mode("overwrite").option(
-                    "compression", self.codec
-                ).parquet(self._snap_dir(version, "filters"))
-            )
+        # the delta and host_state writes are independent jobs over data
+        # the caller already cached (the superstep materializes the step
+        # caches before committing) — run them concurrently from two
+        # driver threads so the commit pays one write latency, not two.
+        # Only the filters increment must WAIT for the delta write: its
+        # callable may consult Observation counters that action fires.
+        def _delta_write():
+            updates.write.mode("overwrite").option(
+                "compression", self.codec
+            ).parquet(self._snap_dir(version, "delta"))
+
         if host_state is not None:
-            side_writes.append(
-                lambda: host_state.write.mode("overwrite").option(
-                    "compression", self.codec
-                ).parquet(self._snap_dir(version, "host_state"))
-            )
-        if len(side_writes) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(len(side_writes)) as pool:
-                for fut in [pool.submit(w) for w in side_writes]:
-                    fut.result()
+            with ThreadPoolExecutor(2) as pool:
+                d = pool.submit(_delta_write)
+                h = pool.submit(
+                    lambda: host_state.write.mode("overwrite").option(
+                        "compression", self.codec
+                    ).parquet(self._snap_dir(version, "host_state"))
+                )
+                d.result()
+                _mark("delta write")
+                h.result()
         else:
-            for w in side_writes:
-                w()
+            _delta_write()
+            _mark("delta write")
+        if callable(filters_increment):
+            filters_increment = filters_increment()
+        if filters_increment is not None:
+            filters_increment.write.mode("overwrite").option(
+                "compression", self.codec
+            ).parquet(self._snap_dir(version, "filters"))
         _mark("side writes (filters/host_state)")
         manifest["current"] = version
         manifest.setdefault("base", -1)
