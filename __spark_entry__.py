@@ -1400,6 +1400,76 @@ def _rules_per_agent(spark, sf_dir):
     )
 
 
+def _multi_agent_gate(spark, sf_dir):
+    """END-TO-END multi-agent gate (VERDICT r5 next #7): candidates
+    carrying a per-row acting agent gated through
+    gate_sharded(agent_col=...) against the (host, agent)-keyed rules
+    from build_rules_per_agent — same 25-host x 3-agent arithmetic
+    fixture as ``rules_per_agent``, now consumed by the gate instead of
+    only built. Covers: exact case-insensitive token match (alphabot ->
+    AlphaBot group), '*' fallback (GammaBot), precedence (Allow /a<d><d>
+    outranks Disallow /a<d> on the longer pattern), and per-agent
+    isolation (BetaBot's /b<d> block never leaks to AlphaBot). The
+    DuckDB oracle replays the expected decisions in closed form from
+    the generator arithmetic."""
+    from texting_robots_spark.operators.gate import (
+        build_rules_per_agent,
+        gate_sharded,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    hidx = F.col("doc_id") % 25
+    host = F.concat(
+        F.col("source"), F.lit("-"), hidx.cast("string"), F.lit(".example")
+    )
+    hosts = docs.select(host.alias("host"), hidx.alias("hidx")).distinct()
+    dd = (F.col("hidx") % 10).cast("string")
+    delay_line = F.when(
+        F.col("hidx") % 3 == 0, F.lit("Crawl-delay: 1.5\n")
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("User-agent: AlphaBot\nDisallow: /a"),
+        dd,
+        F.lit("\nAllow: /a"),
+        dd,
+        dd,
+        F.lit("\n"),
+        delay_line,
+        F.lit("Sitemap: https://"),
+        F.col("host"),
+        F.lit("/sm.xml\n\nUser-agent: BetaBot\nDisallow: /b"),
+        dd,
+        F.lit("\n\nUser-agent: *\nDisallow: /z\nCrawl-delay: 0.25\n"),
+    )
+    agents = spark.createDataFrame(
+        [("alphabot",), ("BetaBot",), ("GammaBot",)], "agent string"
+    )
+    raw = hosts.crossJoin(agents).select(
+        "host", "agent", F.encode(body, "UTF-8").alias("body")
+    )
+    rules = build_rules_per_agent(raw)
+    paths = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.concat(F.lit("/a"), dd),
+                F.concat(F.lit("/a"), dd, dd),
+                F.concat(F.lit("/b"), dd),
+                F.lit("/z"),
+                F.lit("/ok"),
+            )
+        ).alias("path"),
+    )
+    cand = paths.crossJoin(agents).select(
+        "host", "agent", F.concat(F.lit("https://"), "host", "path").alias("url")
+    )
+    return gate_sharded(cand, rules, with_delay=False, agent_col="agent").select(
+        "host", "agent", "url", "allowed"
+    )
+
+
 def _dataset_split(spark, sf_dir):
     """Deterministic train/valid/test split by key hash (operators/
     sampling.py:hash_split): no RNG, no sampling pass — the assignment
@@ -1550,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-oracled, including the full 2- and 3-step crawls)
         "robots_gate_conformance": _robots_gate_conformance,
         "rules_per_agent": _rules_per_agent,
+        "multi_agent_gate": _multi_agent_gate,
         "crawl_superstep": _crawl_superstep,
         "schedule_step": _schedule_step,
         "superstep_one_step": _superstep_one_step,
@@ -2362,6 +2433,40 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || h.host || '/sm.xml' AS sitemaps_sig,
                    FALSE AS parse_error
             FROM h CROSS JOIN a
+        """,
+        "multi_agent_gate": """
+            -- closed-form gate decisions from the generator arithmetic:
+            -- alphabot hits the AlphaBot group (Disallow /a<d>, Allow
+            -- /a<d><d>; the longer Allow outranks on /a<d><d>), BetaBot
+            -- its own group (Disallow /b<d>), GammaBot falls to '*'
+            -- (Disallow /z); everything else is allowed
+            WITH d AS (
+                SELECT DISTINCT source,
+                       CAST(doc_id AS BIGINT) % 25 AS hidx
+                FROM documents
+            ), h AS (
+                SELECT source || '-' || CAST(hidx AS VARCHAR)
+                           || '.example' AS host,
+                       CAST(hidx % 10 AS VARCHAR) AS dd
+                FROM d
+            ), p AS (
+                SELECT host, path FROM h, LATERAL (VALUES
+                    ('/a' || dd), ('/a' || dd || dd),
+                    ('/b' || dd), ('/z'), ('/ok')) AS t(path)
+            ), a AS (
+                SELECT * FROM (VALUES ('alphabot'), ('BetaBot'),
+                                      ('GammaBot')) AS t(agent)
+            )
+            SELECT p.host, a.agent,
+                   'https://' || p.host || p.path AS url,
+                   CASE WHEN a.agent = 'alphabot'
+                             AND p.path LIKE '/a_' THEN FALSE
+                        WHEN a.agent = 'BetaBot'
+                             AND p.path LIKE '/b_' THEN FALSE
+                        WHEN a.agent = 'GammaBot'
+                             AND p.path = '/z' THEN FALSE
+                        ELSE TRUE END AS allowed
+            FROM p CROSS JOIN a
         """,
         "recrawl_requeue": """
             -- full recrawl cycle replay: compact archives the fetched

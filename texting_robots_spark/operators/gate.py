@@ -164,6 +164,7 @@ def gate_sharded(
     on_parse_error: str = "disallow",
     default_delay: Optional[float] = None,
     n_salts: int = 8,
+    agent_col: Optional[str] = None,
 ) -> DataFrame:
     """``gate`` without the driver collect/broadcast — for rules tables
     too big for one broadcast (10^7-10^8 hosts would OOM the driver in
@@ -180,6 +181,20 @@ def gate_sharded(
     equivalence test on the conformance corpus): hosts absent from
     rules_df allow everything; null URLs under a known host gate False;
     ``crawl_delay`` is attached from the rules row when ``with_delay``.
+
+    MULTI-AGENT MODE (``agent_col``): when a crawl runs several bots
+    over one frontier, candidates carry the acting agent per row and
+    rules come from ``build_rules_per_agent`` keyed (host, agent) —
+    the cogroup key and the per-worker matcher cache then include the
+    agent, everything else is identical. This is the agent-
+    parameterized gate the per-agent rules build feeds (reference
+    parallel: Robot::new takes the agent per instantiation,
+    lib.rs:394-403 — here one DataFrame pass gates all agents at
+    once). The broadcast path deliberately has no multi-agent mode: a
+    (host x agent) table multiplies the driver-collected size by the
+    agent count, exactly the ceiling RulesTable exists to avoid; a
+    single-agent-per-host fixture can still fold the agent into the
+    host key (see the conformance driver query).
     """
     import pandas as pd
 
@@ -222,9 +237,14 @@ def gate_sharded(
                     (x["pattern"], x["is_allow"])
                     for x in (rrows if rrows is not None else ())
                 )
-                # per-worker LRU: compile once per (host, rules version),
-                # reuse across every task and superstep on this worker
-                matcher = cached_matcher(key[0], rules)
+                # per-worker LRU: compile once per (host[, agent], rules
+                # version), reuse across every task and superstep on
+                # this worker. The agent rides the cache key as a
+                # NUL-joined suffix (NUL cannot appear in a hostname).
+                cache_key = (
+                    key[0] if agent_col is None else f"{key[0]}\x00{key[1]}"
+                )
+                matcher = cached_matcher(cache_key, rules)
                 if matcher.empty:
                     res = np.ones(n, dtype=bool)
                 else:
@@ -252,15 +272,29 @@ def gate_sharded(
     salted = candidates.withColumn(
         _SALT_COL, F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)).cast("int")
     )
+    key_cols = [host_col] + ([agent_col] if agent_col is not None else [])
     rules_salted = rules_df.select(
         host_col if host_col in rules_df.columns else F.col("host").alias(host_col),
+        *([agent_col] if agent_col is not None else []),
         "rules",
         "delay",
         "parse_error",
     ).withColumn(_SALT_COL, F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
+    # Rename-roundtrip the rules side to mint fresh attribute ids: when
+    # a caller derives candidates and rules from the SAME upstream frame
+    # (common in multi-agent crawls where both sides fan out from one
+    # host list), the two cogroup children share attribute ids and
+    # Spark's ambiguous-self-join check rejects the plan. Each Alias
+    # gets a new exprId, so projecting every column to a temp name and
+    # back disjoints the two outputs; the projections collapse in the
+    # optimizer — zero runtime cost.
+    _rcols = rules_salted.columns
+    rules_salted = rules_salted.select(
+        *[F.col(c).alias(f"__gs_{c}") for c in _rcols]
+    ).select(*[F.col(f"__gs_{c}").alias(c) for c in _rcols])
     return (
-        salted.groupBy(host_col, _SALT_COL)
-        .cogroup(rules_salted.groupBy(host_col, _SALT_COL))
+        salted.groupBy(*key_cols, _SALT_COL)
+        .cogroup(rules_salted.groupBy(*key_cols, _SALT_COL))
         .applyInPandas(_gate, out_schema)
         .select(*cand_cols, *(["allowed", "crawl_delay"] if with_delay else ["allowed"]))
     )

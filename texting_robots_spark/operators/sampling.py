@@ -31,7 +31,12 @@ from pyspark.sql.window import Window
 
 from .dedup import base_hash_expr, tokenize
 
-__all__ = ["hash_split", "host_quality_filter", "pack_shards"]
+__all__ = [
+    "hash_split",
+    "host_quality_filter",
+    "pack_shards",
+    "shard_bucket_stats",
+]
 
 # resolution of the split lottery: weights are quantized to 1/10000
 _SPLIT_BUCKETS = 10_000
@@ -135,10 +140,21 @@ def pack_shards(
     This is the distributed shape of "pack the corpus into ~budget-
     sized shards": one window per bucket, cumsum inside, NO global
     sort and NO sequential packing loop — parallelism == n_buckets at
-    any corpus size, and the assignment is a pure function of the data
-    (re-runs and resumes produce identical shards). Documents longer
-    than the budget get a shard of their own (the cut never splits a
-    document; trainers chunk oversize docs downstream).
+    any corpus size. Documents longer than the budget get a shard of
+    their own (the cut never splits a document; trainers chunk
+    oversize docs downstream).
+
+    Determinism REQUIRES unique ``key_col`` values: the window orders
+    by (hash, key), so rows sharing a key tie, and the ROWS-frame
+    cumulative sum — hence the shard assignment — may order the tied
+    rows differently across runs (round-5 ADVICE). With unique keys
+    the assignment is a pure function of the data (re-runs and
+    resumes produce identical shards). Note duplicate keys are also
+    the only way a bucket can exceed its hash-fair share: unique keys
+    spread uniformly by construction, while key_col choices like
+    ``host`` put every row of a hot key into ONE bucket's window —
+    audit with ``shard_bucket_stats`` before trusting a non-unique
+    key column.
     """
     h = base_hash_expr(F.col(key_col).cast("string"), base_hash)
     with_meta = docs.withColumn("n_tokens", F.size(tokenize(F.col(text_col)))).withColumn(
@@ -153,4 +169,23 @@ def pack_shards(
     return with_meta.withColumn(
         "shard",
         F.floor((cum - F.col("n_tokens")) / F.lit(int(token_budget))).cast("long"),
+    )
+
+
+def shard_bucket_stats(packed: DataFrame) -> DataFrame:
+    """Per-bucket audit counters for a ``pack_shards`` output (the
+    no-silent-skew companion, VERDICT r5 #6): row count, token total,
+    shard count, and the largest single document per bucket. The
+    window inside pack_shards runs one partition per bucket, so a
+    bucket holding a disproportionate share of rows (a hot non-unique
+    key_col value, e.g. one host = half the corpus under
+    key_col='host') serializes that share through one task — this
+    one map-side-combinable aggregate makes that visible before the
+    pack is trusted at scale. Plain groupBy on the bucket id: no new
+    skew point, driver result is n_buckets rows."""
+    return packed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max("shard") + F.lit(1)).alias("n_shards"),
+        F.max("n_tokens").alias("max_doc_tokens"),
     )
