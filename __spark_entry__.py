@@ -1488,6 +1488,30 @@ def _dataset_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def _stratified_sample(spark, sf_dir):
+    """Deterministic training-mix rebalance (operators/sampling.py:
+    stratified_sample): downsample English to 30% and Chinese to 75%,
+    keep every other language — the standard per-language rate recipe,
+    decided by a salted md5-twin hash lottery (no RNG, identical keep
+    set on any cluster/partitioning). The salt decorrelates the keep
+    lottery from hash_split's bucket arithmetic on the same keys."""
+    from texting_robots_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.3, "zh": 0.75},
+        key_col="doc_id",
+        default_rate=1.0,
+        salt="strat",
+        base_hash="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
 def _host_quality_filter(spark, sf_dir):
     """Domain-level quality gate (operators/sampling.py:
     host_quality_filter): C4/RefinedWeb-style — keep documents only
@@ -1603,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_lang": _token_count_by_lang,
         "similarity_topk": _similarity_topk,
         "dataset_split": _dataset_split,
+        "stratified_sample": _stratified_sample,
         "host_quality_filter": _host_quality_filter,
         "pack_shards": _pack_shards,
         # sketches + robots derivations (oracled via md5 variants /
@@ -2354,6 +2379,22 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 10000 AS b
                 FROM documents
             )
+        """,
+        "stratified_sample": """
+            -- stratified_sample replay: salted md5-twin hash lottery,
+            -- keep row iff bucket < rate*10000 for its language
+            -- (en 3000, zh 7500, default 10000 = keep all)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                || chr(31) || 'strat'), 1, 15))
+                            AS BIGINT) % 10000 AS b
+                FROM documents
+            )
+            WHERE b < CASE lang WHEN 'en' THEN 3000
+                                WHEN 'zh' THEN 7500
+                                ELSE 10000 END
         """,
         "host_quality_filter": """
             -- domain-level quality gate: per-doc score = distinct-token

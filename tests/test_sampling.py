@@ -131,3 +131,116 @@ def test_pack_shards_adversarial_skew_audited(spark):
             assert tok < 100 + max(r["n_tokens"] for r in hot_rows)
     finally:
         out.unpersist()
+
+
+def _lang_docs(spark, n=6000):
+    """doc_id 0..n-1 with a 3-language mix: en 50%, zh 25%, ko 25%."""
+    return spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 4 < 2, "en")
+        .when(F.col("id") % 4 == 2, "zh")
+        .otherwise("ko")
+        .alias("lang"),
+    )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from texting_robots_spark.operators.sampling import stratified_sample
+
+    docs = _lang_docs(spark)
+    out = stratified_sample(docs, "lang", {"en": 0.3, "zh": 0.75}).cache()
+    try:
+        counts = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # hash lottery lands near the requested rates
+        assert 0.25 <= counts["en"] / 3000 <= 0.35
+        assert 0.70 <= counts["zh"] / 1500 <= 0.80
+        # default_rate=1.0 keeps unlisted strata in full
+        assert counts["ko"] == 1500
+        # pure function of (key, salt): repartitioned re-run identical
+        first = {r["doc_id"] for r in out.collect()}
+        again = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs.repartition(11), "lang", {"en": 0.3, "zh": 0.75}
+            ).collect()
+        }
+        assert first == again
+    finally:
+        out.unpersist()
+
+
+def test_stratified_sample_monotone_nested_rates(spark):
+    """Raising a stratum's rate only ADDS documents (threshold form):
+    the 30% English sample is a strict subset of the 60% sample, so a
+    data-mix dial-up between training runs reuses every shard already
+    packed instead of resampling the corpus."""
+    from texting_robots_spark.operators.sampling import stratified_sample
+
+    docs = _lang_docs(spark, 2000)
+    lo = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.3}).collect()}
+    hi = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.6}).collect()}
+    assert lo < hi
+
+
+def test_stratified_sample_salt_decorrelates_from_split(spark):
+    """The salted lottery must not be the hash_split lottery: a 30%
+    sample of an 80/10/10 split should straddle all three splits at
+    roughly the split proportions, not collapse into train."""
+    from texting_robots_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = _lang_docs(spark, 4000)
+    split = hash_split(docs, "doc_id", [("train", 8), ("valid", 1), ("test", 1)])
+    sample = stratified_sample(docs, "lang", {}, default_rate=0.3)
+    joined = (
+        split.join(sample.select("doc_id"), "doc_id", "inner")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = {r["split"]: r["n"] for r in joined.collect()}
+    total = sum(counts.values())
+    assert 0.2 <= total / 4000 <= 0.4
+    # all three splits represented, train near its 80% share
+    assert set(counts) == {"train", "valid", "test"}
+    assert 0.7 <= counts["train"] / total <= 0.9
+
+
+def test_stratified_sample_rejects_bad_rates(spark):
+    import pytest
+
+    from texting_robots_spark.operators.sampling import stratified_sample
+
+    docs = _lang_docs(spark, 10)
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", {}, default_rate=-0.1)
+
+
+def test_stratified_rates_for_targets(spark):
+    from texting_robots_spark.operators.sampling import (
+        stratified_rates_for_targets,
+        stratified_sample,
+    )
+
+    docs = _lang_docs(spark)  # en 3000, zh 1500, ko 1500
+    rates = stratified_rates_for_targets(
+        docs, "lang", {"en": 600, "zh": 3000, "xx": 10}
+    )
+    # target below count -> ratio; above count -> capped at 1.0;
+    # absent stratum -> omitted
+    assert rates == {"en": 600 / 3000, "zh": 1.0}
+    sampled = stratified_sample(docs, "lang", rates, default_rate=0.0)
+    counts = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # realized counts binomial around the targets; zh kept in full
+    assert 450 <= counts["en"] <= 750
+    assert counts["zh"] == 1500
+    assert "ko" not in counts

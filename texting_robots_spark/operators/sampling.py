@@ -15,8 +15,12 @@ dedup/quality-scoring and the trainer's data loader:
   shards with a cumulative-sum window inside hash buckets — each
   bucket packs independently (no global sort, no sequential driver
   loop), so packing parallelism == bucket count at any corpus size.
+- ``stratified_sample``: deterministic per-stratum downsampling (the
+  "rebalance the language/domain mix" step) — keep-rate per stratum
+  value, decided by a salted key hash so re-runs, resumes, and any
+  partitioning keep the identical document set.
 
-All three are pure native expressions (zero Python in the row path)
+All are pure native expressions (zero Python in the row path)
 and carry the md5-twin convention (operators/dedup.py:base_hash_expr)
 so the driver's DuckDB oracles replay them bit-for-bit.
 """
@@ -36,6 +40,8 @@ __all__ = [
     "host_quality_filter",
     "pack_shards",
     "shard_bucket_stats",
+    "stratified_sample",
+    "stratified_rates_for_targets",
 ]
 
 # resolution of the split lottery: weights are quantized to 1/10000
@@ -189,3 +195,85 @@ def shard_bucket_stats(packed: DataFrame) -> DataFrame:
         (F.max("shard") + F.lit(1)).alias("n_shards"),
         F.max("n_tokens").alias("max_doc_tokens"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict,
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "strat",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep each row with the
+    rate its ``stratum_col`` value maps to in ``rates`` (strata absent
+    from the map keep ``default_rate``).
+
+    The keep decision is ``pmod(hash(key || salt), 10000) <
+    rate*10000`` — a hash lottery, not an RNG: a document keeps or
+    drops identically on every run, cluster size, and partitioning,
+    which is what makes a training-mix recipe ("English at 30%, keep
+    all low-resource languages") reproducible and resumable. The
+    ``salt`` decorrelates this lottery from ``hash_split``'s (same
+    10000-bucket arithmetic on the bare key): without it a 10% sample
+    would fall entirely inside the train split of an 80/10/10 split.
+
+    Scale shape: one hash + one map lookup + one comparison per row —
+    no shuffle, no count pass, no driver state. ``rates`` compiles to
+    a literal MAP expression, so it is meant for low-cardinality
+    strata (languages, source tags, quality tiers — up to a few
+    thousand entries); for per-host rates at web scale, join a rates
+    table instead. Rate quantization is 1/10000, matching
+    ``hash_split``.
+    """
+    if not 0.0 <= float(default_rate) <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    for s, r in rates.items():
+        if not 0.0 <= float(r) <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    bucket = F.pmod(
+        base_hash_expr(
+            F.concat(F.col(key_col).cast("string"), F.lit("\x1f" + salt)),
+            base_hash,
+        ),
+        F.lit(_SPLIT_BUCKETS),
+    )
+    default_thr = int(round(float(default_rate) * _SPLIT_BUCKETS))
+    if rates:
+        mapping = F.create_map(
+            *[
+                x
+                for s, r in rates.items()
+                for x in (F.lit(s), F.lit(int(round(float(r) * _SPLIT_BUCKETS))))
+            ]
+        )
+        thr = F.coalesce(mapping[F.col(stratum_col)], F.lit(default_thr))
+    else:
+        thr = F.lit(default_thr)
+    return df.where(bucket < thr)
+
+
+def stratified_rates_for_targets(
+    df: DataFrame, stratum_col: str, targets: dict
+) -> dict:
+    """Turn per-stratum TARGET COUNTS into the keep-rates
+    ``stratified_sample`` wants: rate = min(1, target / current_count).
+
+    One map-side-combinable groupBy-count over the corpus; the result
+    is one row per stratum (driver-small by the same low-cardinality
+    contract as ``rates``). Strata named in ``targets`` but absent
+    from the data are omitted (nothing to sample). The realized sample
+    size is binomial around the target (hash lottery, not exact-k
+    reservoir) — at training-corpus scale the relative deviation is
+    negligible, and exact-k would cost a per-stratum global sort.
+    """
+    counts = dict(
+        df.where(F.col(stratum_col).isin(list(targets)))
+        .groupBy(stratum_col)
+        .count()
+        .collect()
+    )
+    return {
+        s: min(1.0, float(targets[s]) / n) for s, n in counts.items() if n > 0
+    }
