@@ -1593,6 +1593,39 @@ def _rollup_revenue(spark, sf_dir):
     )
 
 
+def _cube_revenue(spark, sf_dir):
+    """GROUP BY CUBE — all 2^n dimension combinations in one pass
+    (VERDICT r5 missing #4: only ROLLUP was oracled). Same partial-
+    aggregate Expand shape as rollup: Catalyst expands each input row
+    once per grouping set map-side, so the shuffle carries partial
+    aggregates, not row multiples."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _grouping_sets_events(spark, sf_dir):
+    """Arbitrary GROUPING SETS — two INDEPENDENT dimensions ((type),
+    (user bucket)), the shape neither ROLLUP nor CUBE expresses
+    (marginals only, no cross cells, no grand total). Uses the native
+    DataFrame.groupingSets API (Spark 4.x); floor(value) keeps the
+    measure integer-exact so the DuckDB hash compare is summation-
+    order-independent."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ubucket", (F.col("user_id") % 4).cast("long")
+    )
+    return ev.groupingSets(
+        [[F.col("event_type")], [F.col("ubucket")]], "event_type", "ubucket"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor("value").cast("long")).alias("sum_v"),
+    )
+
+
 def _json_event_props(spark, sf_dir):
     """JSON extraction parity: get_json_object vs DuckDB json_extract."""
     ev = _t(spark, sf_dir, "events")
@@ -1618,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_token_freq": _explode_token_freq,
         "rank_orders_window": _rank_orders_window,
         "rollup_revenue": _rollup_revenue,
+        "cube_revenue": _cube_revenue,
+        "grouping_sets_events": _grouping_sets_events,
         "json_event_props": _json_event_props,
         # training-data ops (oracled)
         "dedup_exact": _dedup_exact,
@@ -2082,6 +2117,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_events": """
+            -- two independent marginals, no cross cells / grand total
+            SELECT event_type, ubucket,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+            FROM (SELECT event_type, user_id % 4 AS ubucket, value
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type), (ubucket))
         """,
         "json_event_props": """
             SELECT event_type,
