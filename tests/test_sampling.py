@@ -244,3 +244,39 @@ def test_stratified_rates_for_targets(spark):
     assert 450 <= counts["en"] <= 750
     assert counts["zh"] == 1500
     assert "ko" not in counts
+
+
+def test_temperature_rates_reshapes_mix(spark):
+    from texting_robots_spark.operators.sampling import (
+        stratified_sample,
+        temperature_rates,
+    )
+
+    docs = _lang_docs(spark)  # en 3000, zh 1500, ko 1500
+    # alpha=1: natural mix — every stratum keeps everything
+    assert temperature_rates(docs, "lang", 1.0) == {
+        "en": 1.0, "zh": 1.0, "ko": 1.0,
+    }
+    # alpha=0: uniform target — head downsampled to the tail's size
+    r0 = temperature_rates(docs, "lang", 0.0)
+    assert r0["zh"] == 1.0 and r0["ko"] == 1.0
+    assert abs(r0["en"] - 0.5) < 1e-12
+    # intermediate alpha: expected counts proportional to n^alpha,
+    # scarcest stratum kept in full, no rate above 1
+    alpha = 0.5
+    r = temperature_rates(docs, "lang", alpha)
+    assert max(r.values()) == 1.0
+    exp_en = 3000 * r["en"]
+    assert abs(exp_en / (1500 * r["zh"]) - (3000 / 1500) ** alpha) < 1e-9
+    sampled = stratified_sample(docs, "lang", r)
+    counts = {
+        row["lang"]: row["n"]
+        for row in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # realized en count binomial around n_min^(1-a) * n_en^a ~ 2121
+    assert 1900 <= counts["en"] <= 2350
+    assert counts["zh"] == 1500 and counts["ko"] == 1500
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_rates(docs, "lang", 1.5)

@@ -42,6 +42,7 @@ __all__ = [
     "shard_bucket_stats",
     "stratified_sample",
     "stratified_rates_for_targets",
+    "temperature_rates",
 ]
 
 # resolution of the split lottery: weights are quantized to 1/10000
@@ -277,3 +278,29 @@ def stratified_rates_for_targets(
     return {
         s: min(1.0, float(targets[s]) / n) for s, n in counts.items() if n > 0
     }
+
+
+def temperature_rates(df: DataFrame, stratum_col: str, alpha: float) -> dict:
+    """Temperature-based mixture rates: keep-rates that reshape the
+    stratum distribution from p_i ∝ n_i to q_i ∝ n_i^alpha — the
+    standard multilingual-corpus balancing recipe (alpha=1 keeps the
+    natural mix, alpha=0 targets uniform, the usual 0.2–0.7 range
+    upsamples the tail's SHARE by downsampling the head).
+
+    Rates are scaled so the best-represented stratum under q keeps
+    100% of its rows (the largest sample achievable by downsampling
+    alone — no stratum is ever upsampled, so every rate is a valid
+    hash-lottery keep probability): rate_i = (q_i/n_i) / max_j(q_j/n_j),
+    which collapses to rate_i = (n_min/n_i)^(1-alpha) — scarcest
+    stratum always keeps 1.0. One map-side-combinable groupBy-count;
+    feed the result straight to ``stratified_sample``.
+    """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        s: n for s, n in df.groupBy(stratum_col).count().collect() if n > 0
+    }
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {s: (n_min / n) ** (1.0 - float(alpha)) for s, n in counts.items()}
