@@ -595,6 +595,30 @@ def _minhash_lsh_capped(spark, sf_dir):
     )
 
 
+def _dedup_components(spark, sf_dir):
+    """End of the dedup pipeline: LSH candidate PAIRS -> connected
+    COMPONENTS -> one survivor per near-dup group (operators/dedup.py:
+    connected_components — alternating large-star/small-star
+    contraction, resolve_duplicates). Transitive closure matters: A~B,
+    B~C dedups A and C even though LSH never paired them directly. The
+    DuckDB oracle replays the same md5-twin LSH pairs, then computes
+    min-reachable-id per node with a recursive CTE — an independent
+    algorithm (BFS closure) agreeing on every component is a strong
+    check of the star-contraction implementation."""
+    from texting_robots_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        resolve_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_candidates(docs, n_hashes=4, band_size=2, base_hash="md5")
+    return resolve_duplicates(docs.select("doc_id"), pairs).select(
+        "doc_id", "component", "is_survivor"
+    )
+
+
 def _simhash_fingerprints(spark, sf_dir):
     """60-bit SimHash with the md5-derived base hash (DuckDB-checkable;
     production default is 64-bit xxhash64 — identical bit-vote plan)."""
@@ -1669,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generator-arithmetic oracles)
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "minhash_lsh_capped": _minhash_lsh_capped,
+        "dedup_components": _dedup_components,
         "simhash_fingerprints": _simhash_fingerprints,
         "sitemap_collection": _sitemap_collection,
         "robots_url_derivation": _robots_url_derivation,
@@ -2187,6 +2212,73 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
                         AND a.doc_id < b.doc_id
+        """,
+        "dedup_components": """
+            -- same md5-twin LSH pairs as minhash_lsh_pairs, then the
+            -- component of each node = min id reachable over the
+            -- undirected candidate graph (recursive BFS closure — an
+            -- algorithm independent of the engine's star contraction)
+            WITH RECURSIVE toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(ts) - 3, 0) + 1),
+                           i -> array_to_string(ts[i+1 : i+3], ' ')
+                       )) AS shs
+                FROM toks
+            ), base AS (
+                SELECT doc_id,
+                       list_transform(shs, s ->
+                           CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                           % 2147483647) AS hs
+                FROM sh
+            ), sig AS (
+                SELECT doc_id,
+                       list_min(list_transform(hs, h ->
+                           (2654435761 * h + 374761393) % 2305843009213693951)) AS s0,
+                       list_min(list_transform(hs, h ->
+                           (2246822519 * h + 3550635116) % 2305843009213693951)) AS s1,
+                       list_min(list_transform(hs, h ->
+                           (3266489917 * h + 4251993797) % 2305843009213693951)) AS s2,
+                       list_min(list_transform(hs, h ->
+                           (668265263 * h + 3042594569) % 2305843009213693951)) AS s3
+                FROM base
+            ), bands AS (
+                SELECT doc_id, 0 AS band,
+                       CONCAT_WS(',', CAST(s0 AS VARCHAR), CAST(s1 AS VARCHAR)) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band,
+                       CONCAT_WS(',', CAST(s2 AS VARCHAR), CAST(s3 AS VARCHAR)) AS bucket
+                FROM sig
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a
+                JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT a AS node, a AS lbl FROM edges
+                UNION
+                SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+            ), comp AS (
+                SELECT node, min(lbl) AS component FROM reach GROUP BY node
+            )
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   coalesce(c.component, CAST(d.doc_id AS VARCHAR))
+                       AS component,
+                   (c.component IS NULL
+                    OR c.component = CAST(d.doc_id AS VARCHAR))
+                       AS is_survivor
+            FROM documents d
+            LEFT JOIN comp c ON c.node = CAST(d.doc_id AS VARCHAR)
         """,
         "minhash_lsh_capped": """
             WITH toks AS (

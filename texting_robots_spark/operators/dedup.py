@@ -37,6 +37,8 @@ __all__ = [
     "simhash",
     "simhash_near_dups",
     "capped_bucket_pairs",
+    "connected_components",
+    "resolve_duplicates",
 ]
 
 _LOG = logging.getLogger(__name__)
@@ -533,3 +535,124 @@ def simhash_near_dups(
     return pairs.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of a candidate-pair graph -> one row per
+    non-isolated node: (``node``, ``component``) with ``component`` =
+    the minimum node id in its component. This is the step that turns
+    dedup candidate PAIRS into dedup GROUPS (transitive closure:
+    A~B, B~C puts A and C in one group even though LSH never paired
+    them directly).
+
+    Algorithm: alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — the standard shuffle-based CC for engines without
+    graph libraries). Each round is two groupBy-min + join passes over
+    the edge list; the edge set converges to per-component stars in
+    O(log n) rounds regardless of component diameter — a 10^4-long
+    near-dup chain (consecutive crawl snapshots) resolves in ~14
+    rounds where naive min-label propagation needs 10^4. Per round the
+    shuffle key is the node id, payload two ids per edge: O(edges)
+    bytes, no collect, no driver state beyond a convergence
+    fingerprint (count + hash-sum aggregate, one scalar row per
+    round). Node ids order by their natural type ordering; any total
+    order works — min is just a canonical representative.
+
+    Components at web scale are near-dup clusters: typically tiny, but
+    boilerplate can chain millions of docs into one component — star
+    contraction keeps even that case O(edges log n) with bounded
+    per-round skew (the representative's degree grows, which is
+    exactly the AQE skew-join shape; the hot key carries 2 ids/row).
+    """
+    # canonical undirected edges (hi, lo), self-loops dropped
+    hi = F.greatest(F.col(src_col), F.col(dst_col)).alias("hi")
+    lo = F.least(F.col(src_col), F.col(dst_col)).alias("lo")
+    edges = (
+        pairs.select(hi, lo).where(F.col("hi") != F.col("lo")).distinct()
+    ).persist()
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star(E): symmetrize; every center u points its LARGER
+        # neighbors v at m = min(Γ(u) ∪ {u}); edges stay (hi, lo)
+        # because m <= u < v
+        dirs = edges.select("hi", "lo").union(
+            edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        )
+        mins = dirs.groupBy("hi").agg(
+            F.least(F.min("lo"), F.first("hi")).alias("m")
+        )
+        large = (
+            dirs.join(mins, "hi")
+            .where(F.col("lo") > F.col("hi"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star(large-star(E)) — sequential composition per the
+        # published algorithm: edges already point larger -> smaller;
+        # every center points its smaller neighbors AND itself at
+        # their min
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(mins2, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
+        )
+        # localCheckpoint (eager) truncates lineage: the iterated plan
+        # would otherwise grow geometrically (edges referenced 3x per
+        # round) and OOM the planner after ~8 rounds. Driver-fault
+        # recovery is not needed mid-operator — the input is
+        # deterministic, a failed run reruns from pairs.
+        new_edges = (
+            small.where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # order-independent edge-set fingerprint; pmod bounds each term
+        # so the sum cannot overflow ANSI long arithmetic below ~4e9
+        # edges per partition-set
+        fp = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(1 << 31))).alias("h"),
+        ).collect()[0]
+        edges.unpersist()
+        edges = new_edges
+        if prev_fp == (fp["n"], fp["h"]):
+            break
+        prev_fp = (fp["n"], fp["h"])
+    out = edges.select(
+        F.col("hi").alias("node"), F.col("lo").alias("component")
+    )
+    return out
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """End of the dedup pipeline: candidate pairs -> components ->
+    survivor per component. Adds ``component`` (min doc id of the
+    near-dup group, own id for docs in no pair) and ``is_survivor``
+    (true for exactly one doc per component — the min id, a
+    deterministic RNG-free pick). Filtering ``is_survivor`` yields the
+    deduplicated corpus; keeping all rows yields the group map for
+    audit. One broadcast-or-shuffle left join of docs against the
+    (small: non-isolated nodes only) component map."""
+    comp = connected_components(pairs, src_col, dst_col, max_iter)
+    out = (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .drop("node")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("is_survivor", F.col("component") == F.col(id_col))
+    )
+    return out
