@@ -307,6 +307,19 @@ def main():
         lambda: simhash(docs).select("doc_id", "simhash").count(),
     )
 
+    # full dedup resolution: LSH pairs -> connected components
+    # (star contraction) -> survivor per group (production xxhash64
+    # base hash; the md5 twin is the oracled dedup_components query)
+    from texting_robots_spark.operators.dedup import resolve_duplicates
+
+    def _dedup_resolve():
+        pairs = minhash_lsh_candidates(docs, n_hashes=4, band_size=2)
+        resolve_duplicates(docs.select("doc_id"), pairs).where(
+            F.col("is_survivor")
+        ).count()
+
+    _best_of("dedup_resolve", 3, _dedup_resolve)
+
     # training-data prep pipeline: domain quality gate -> deterministic
     # split -> token-budget shard packing, chained as one job over the
     # sf documents (production xxhash64 forms; the md5 twins are the
