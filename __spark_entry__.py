@@ -595,6 +595,39 @@ def _minhash_lsh_capped(spark, sf_dir):
     )
 
 
+def _incremental_dedup(spark, sf_dir):
+    """Rolling-crawl dedup (operators/dedup.py:incremental_lsh_candidates):
+    odd doc_ids play the ingested ARCHIVE (only their persisted
+    lsh_band_index is touched — never their text), even doc_ids are the
+    NEW batch; candidates = new-vs-new pairwise plus new-vs-archive
+    bucket join. The DuckDB oracle replays both pair families from the
+    same md5-twin band arithmetic and proves the incremental output
+    equals the full-corpus LSH restricted to pairs touching a new doc."""
+    from texting_robots_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_index,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    is_new = F.col("doc_id").cast("long") % 2 == 0
+    base_index = lsh_band_index(
+        minhash_signature(docs.where(~is_new), "text", 4, "md5"),
+        n_hashes=4,
+        band_size=2,
+        base_hash="md5",
+    )
+    return incremental_lsh_candidates(
+        docs.where(is_new),
+        base_index,
+        n_hashes=4,
+        band_size=2,
+        base_hash="md5",
+    ).select("id_a", "id_b", "via_representative", "against")
+
+
 def _dedup_components(spark, sf_dir):
     """End of the dedup pipeline: LSH candidate PAIRS -> connected
     COMPONENTS -> one survivor per near-dup group (operators/dedup.py:
@@ -1694,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "minhash_lsh_capped": _minhash_lsh_capped,
         "dedup_components": _dedup_components,
+        "incremental_dedup": _incremental_dedup,
         "simhash_fingerprints": _simhash_fingerprints,
         "sitemap_collection": _sitemap_collection,
         "robots_url_derivation": _robots_url_derivation,
@@ -2279,6 +2313,64 @@ def oracle_sql() -> dict[str, str]:
                        AS is_survivor
             FROM documents d
             LEFT JOIN comp c ON c.node = CAST(d.doc_id AS VARCHAR)
+        """,
+        "incremental_dedup": """
+            -- same md5-twin band arithmetic; new = even doc_ids,
+            -- archive = odd. Incremental output == full-corpus LSH
+            -- restricted to pairs touching a new doc, oriented
+            -- (new, other) with new-new pairs id_a < id_b
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(ts) - 3, 0) + 1),
+                           i -> array_to_string(ts[i+1 : i+3], ' ')
+                       )) AS shs
+                FROM toks
+            ), base AS (
+                SELECT doc_id,
+                       list_transform(shs, s ->
+                           CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                           % 2147483647) AS hs
+                FROM sh
+            ), sig AS (
+                SELECT doc_id,
+                       list_min(list_transform(hs, h ->
+                           (2654435761 * h + 374761393) % 2305843009213693951)) AS s0,
+                       list_min(list_transform(hs, h ->
+                           (2246822519 * h + 3550635116) % 2305843009213693951)) AS s1,
+                       list_min(list_transform(hs, h ->
+                           (3266489917 * h + 4251993797) % 2305843009213693951)) AS s2,
+                       list_min(list_transform(hs, h ->
+                           (668265263 * h + 3042594569) % 2305843009213693951)) AS s3
+                FROM base
+            ), bands AS (
+                SELECT doc_id, 0 AS band,
+                       CONCAT_WS(',', CAST(s0 AS VARCHAR), CAST(s1 AS VARCHAR)) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band,
+                       CONCAT_WS(',', CAST(s2 AS VARCHAR), CAST(s3 AS VARCHAR)) AS bucket
+                FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   FALSE AS via_representative, 'new' AS against
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+            WHERE CAST(a.doc_id AS BIGINT) % 2 = 0
+              AND CAST(b.doc_id AS BIGINT) % 2 = 0
+            UNION ALL
+            SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b,
+                   FALSE AS via_representative, 'base' AS against
+            FROM bands n
+            JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+            WHERE CAST(n.doc_id AS BIGINT) % 2 = 0
+              AND CAST(o.doc_id AS BIGINT) % 2 = 1
         """,
         "minhash_lsh_capped": """
             WITH toks AS (

@@ -34,6 +34,8 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_candidates",
+    "lsh_band_index",
+    "incremental_lsh_candidates",
     "simhash",
     "simhash_near_dups",
     "capped_bucket_pairs",
@@ -311,6 +313,46 @@ def minhash_signature(
     return staged.withColumn("minhash", sig).drop("_mh_base")
 
 
+def lsh_band_index(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    band_size: int = 2,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Explode a ``minhash_signature`` output into its LSH band index:
+    one row per (``id_col``, ``band``, ``bucket``). This is the
+    PERSISTABLE dedup artifact — store it partitioned by band and a
+    crawl only ever recomputes the index for NEW documents
+    (``incremental_lsh_candidates``), never re-shingling the archived
+    corpus. With ``base_hash='md5'`` the bucket stays the raw band
+    string (DuckDB-reproducible); production uses one more xxhash64
+    for an 8-byte bucket key."""
+    n_bands = n_hashes // band_size
+
+    def _bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", b * band_size + j + 1).cast("string")
+                for j in range(band_size)
+            ],
+        )
+        return joined if base_hash == "md5" else F.xxhash64(joined)
+
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -343,29 +385,7 @@ def minhash_lsh_candidates(
     sig = minhash_signature(
         docs.select(id_col, text_col), text_col, n_hashes, base_hash
     )
-    n_bands = n_hashes // band_size
-
-    def _bucket(b: int) -> Column:
-        joined = F.concat_ws(
-            ",",
-            *[
-                F.element_at("minhash", b * band_size + j + 1).cast("string")
-                for j in range(band_size)
-            ],
-        )
-        return joined if base_hash == "md5" else F.xxhash64(joined)
-
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    bands = lsh_band_index(sig, id_col, n_hashes, band_size, base_hash)
     return capped_bucket_pairs(
         bands,
         id_col,
@@ -656,3 +676,78 @@ def resolve_duplicates(
         .withColumn("is_survivor", F.col("component") == F.col(id_col))
     )
     return out
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    base_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 4,
+    band_size: int = 2,
+    base_hash: str = "xxhash64",
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs for a NEW batch of documents
+    against (a) itself and (b) a persisted ``lsh_band_index`` of the
+    already-ingested corpus — without re-shingling, re-hashing, or
+    re-pairing the archive. This is what makes LSH dedup sustainable
+    on a rolling crawl: each round costs O(new) signature work plus a
+    bucket join against the stored index, instead of O(corpus) — at
+    100 TB the archive index is read partition-pruned on the band
+    column while archive TEXT is never touched.
+
+    Output: (``id_a``, ``id_b``, ``via_representative``, ``against``)
+    where ``id_a`` is always the new document; ``against`` is 'new'
+    (both sides new, ``id_a`` < ``id_b``) or 'base' (``id_b`` from the
+    archive). The pair set equals exactly the full-corpus
+    ``minhash_lsh_candidates`` output restricted to pairs touching a
+    new document (property-tested). ``new_docs`` ids must be disjoint
+    from the archive ids (the crawl's seen-set guarantees this).
+
+    ``max_bucket_size`` caps both blowups: new-vs-new goes through
+    ``capped_bucket_pairs``; for new-vs-base an oversized ARCHIVE
+    bucket collapses to its min-id representative (members of a
+    saturated band bucket agree on that band by construction), so a
+    boilerplate-saturated archive bucket costs O(m_new) instead of
+    O(m_new * m_base). A pair that also shares an unsaturated bucket
+    keeps ``via_representative=false``, same convention as
+    ``capped_bucket_pairs``.
+    """
+    sig = minhash_signature(
+        new_docs.select(id_col, text_col), text_col, n_hashes, base_hash
+    )
+    new_index = lsh_band_index(sig, id_col, n_hashes, band_size, base_hash)
+
+    nn = capped_bucket_pairs(
+        new_index, id_col, ["band", "bucket"], max_bucket_size=max_bucket_size
+    )
+    if "via_representative" not in nn.columns:
+        nn = nn.withColumn("via_representative", F.lit(False))
+    nn = nn.withColumn("against", F.lit("new"))
+
+    base = base_index.select(F.col(id_col).alias("__base_id"), "band", "bucket")
+    if max_bucket_size is not None:
+        stats = base.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("__base_id").alias("__rep")
+        )
+        base = (
+            base.join(stats, ["band", "bucket"])
+            .where(
+                (F.col("__n") <= max_bucket_size)
+                | (F.col("__base_id") == F.col("__rep"))
+            )
+            .withColumn("__via", F.col("__n") > F.lit(max_bucket_size))
+            .select("__base_id", "band", "bucket", "__via")
+        )
+    else:
+        base = base.withColumn("__via", F.lit(False))
+    nb = (
+        new_index.join(base, ["band", "bucket"])
+        .groupBy(F.col(id_col).alias("id_a"), F.col("__base_id").alias("id_b"))
+        .agg((F.min(F.col("__via").cast("int")) == 1).alias("via_representative"))
+        .withColumn("against", F.lit("base"))
+    )
+    return nn.select("id_a", "id_b", "via_representative", "against").union(
+        nb.select("id_a", "id_b", "via_representative", "against")
+    )
