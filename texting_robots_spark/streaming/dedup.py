@@ -1,0 +1,139 @@
+"""Streaming dedup: each micro-batch of documents dedups against
+itself AND the accumulated LSH band index of every prior batch.
+
+    doc parquet files (src/)  ->  readStream
+        -> foreachBatch:
+             base index   = union of index/epoch=<i> for i < batchId
+             new index    = lsh_band_index(minhash_signature(batch))
+             pairs        = incremental_lsh_candidates(batch, base)
+             write pairs  -> out/epoch=<batchId>   (+ _COMMITTED)
+             write index  -> index/epoch=<batchId> (+ _COMMITTED)
+
+This is the rolling-crawl dedup (operators/dedup.py:
+incremental_lsh_candidates) mounted on Structured Streaming: per
+micro-batch cost is O(batch) signature work plus one bucket join
+against the stored index — archived document TEXT is never re-read,
+only its fixed-width band index. Replay-idempotent by the same
+epoch discipline as streaming/loop.py: every artifact lands under
+epoch=<batchId> with a _COMMITTED marker written last, a replayed
+batch reads only epochs STRICTLY below its id and atomically
+overwrites its own, so a crash anywhere leaves the next attempt
+seeing exactly what the first saw.
+
+Batching-invariance: the UNION of emitted pairs, read as undirected
+edges, equals the full-corpus ``minhash_lsh_candidates`` output no
+matter how the stream chops the corpus into batches (property-tested
+in tests/test_streaming_dedup.py) — only the orientation metadata
+(``against`` = 'new' vs 'base') depends on arrival order.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from ..operators.dedup import (
+    incremental_lsh_candidates,
+    lsh_band_index,
+    minhash_signature,
+)
+from .loop import _is_complete, _mark_committed, _prior_epoch_paths
+
+__all__ = ["run_stream_dedup", "DOC_DDL"]
+
+DOC_DDL = "doc_id string, text string"
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    workdir: str,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    base_hash: str = "xxhash64",
+    max_bucket_size: Optional[int] = None,
+    max_files_per_batch: int = 1,
+    timeout_sec: float = 300.0,
+) -> dict:
+    """Consume every parquet file currently under ``<workdir>/src``
+    (schema ``DOC_DDL``) as a dedup stream; returns {"pairs": list of
+    committed pair-epoch dirs, "index": list of committed index-epoch
+    dirs, "batches": batches processed in this call}.
+
+    Runs with ``availableNow`` — processes what has arrived, then
+    stops; calling again on the same ``workdir`` after more files land
+    continues from the checkpoint with fresh batch ids, dedup'ing the
+    new arrivals against everything already indexed. That makes the
+    daily-ingest loop one call per day with no driver state carried
+    between calls. ``max_files_per_batch`` bounds per-batch work (and
+    with it executor memory) regardless of how many files piled up.
+    """
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    index = os.path.join(workdir, "index")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
+    os.makedirs(index, exist_ok=True)
+
+    bucket_t = "string" if base_hash == "md5" else "bigint"
+    index_ddl = f"doc_id string, band int, bucket {bucket_t}"
+    processed = {"n": 0}
+
+    def _process(batch_df, batch_id: int) -> None:
+        prior = _prior_epoch_paths(index, batch_id)
+        if prior:
+            base_index = spark.read.parquet(*prior)
+        else:
+            base_index = spark.createDataFrame([], index_ddl)
+        batch = batch_df.select("doc_id", "text")
+        pairs = incremental_lsh_candidates(
+            batch,
+            base_index,
+            n_hashes=n_hashes,
+            band_size=band_size,
+            base_hash=base_hash,
+            max_bucket_size=max_bucket_size,
+        )
+        new_index = lsh_band_index(
+            minhash_signature(batch, "text", n_hashes, base_hash),
+            n_hashes=n_hashes,
+            band_size=band_size,
+            base_hash=base_hash,
+        )
+        pair_dir = os.path.join(out, f"epoch={batch_id}")
+        index_dir = os.path.join(index, f"epoch={batch_id}")
+        # overwrite = atomic idempotent replay of a crashed batch
+        pairs.write.mode("overwrite").parquet(pair_dir)
+        _mark_committed(pair_dir)
+        new_index.write.mode("overwrite").parquet(index_dir)
+        _mark_committed(index_dir)
+        processed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(DOC_DDL)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - timeout guard
+        q.stop()
+    return {
+        "pairs": sorted(
+            d for d in glob.glob(os.path.join(out, "epoch=*")) if _is_complete(d)
+        ),
+        "index": sorted(
+            d
+            for d in glob.glob(os.path.join(index, "epoch=*"))
+            if _is_complete(d)
+        ),
+        "batches": processed["n"],
+    }
