@@ -78,3 +78,36 @@ def test_stream_dedup_matches_batch_lsh_and_resumes(spark, tmp_path):
     # the late doc paired against the ARCHIVE, not just its own batch
     last = spark.read.parquet(res3["pairs"][-1]).collect()
     assert any(r["against"] == "base" and r["id_a"] == "999" for r in last)
+
+
+def test_compact_dedup_index_preserves_results(spark, tmp_path):
+    from texting_robots_spark.streaming.dedup import compact_dedup_index
+
+    wd = str(tmp_path / "sdc")
+    src = os.path.join(wd, "src")
+    os.makedirs(src)
+    rows = _clusters(n_groups=3)
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]
+    for i, chunk in enumerate(thirds):
+        _write_file(chunk, os.path.join(src, f"a{i}.parquet"))
+    res = run_stream_dedup(spark, wd)
+    assert len(res["index"]) == 3
+    before = spark.read.parquet(*res["index"]).collect()
+
+    removed = compact_dedup_index(spark, wd)
+    assert removed == 2
+    left = [d for d in res["index"] if os.path.exists(d)]
+    assert len(left) == 1  # only the newest epoch remains
+    after = spark.read.parquet(left[0]).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    # late arrivals dedup against the COMPACTED index identically
+    late = [("999", rows[0][1])]
+    _write_file(late, os.path.join(src, "late.parquet"))
+    res2 = run_stream_dedup(spark, wd)
+    got = _undirected(spark.read.parquet(*res2["pairs"]).collect())
+    all_docs = spark.createDataFrame(rows + late, "doc_id string, text string")
+    assert got == _undirected(minhash_lsh_candidates(all_docs).collect())
+    # a second compaction after more batches is a no-op-safe repeat
+    assert compact_dedup_index(spark, wd) == 1
+    assert compact_dedup_index(spark, wd) == 0

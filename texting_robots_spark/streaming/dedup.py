@@ -42,7 +42,7 @@ from ..operators.dedup import (
 )
 from .loop import _is_complete, _mark_committed, _prior_epoch_paths
 
-__all__ = ["run_stream_dedup", "DOC_DDL"]
+__all__ = ["run_stream_dedup", "compact_dedup_index", "DOC_DDL"]
 
 DOC_DDL = "doc_id string, text string"
 
@@ -137,3 +137,38 @@ def run_stream_dedup(
         ),
         "batches": processed["n"],
     }
+
+
+def compact_dedup_index(spark: SparkSession, workdir: str) -> int:
+    """Merge every committed index epoch into the newest one and drop
+    the rest; returns the number of epochs removed. A daily-ingest
+    stream accumulates one epoch dir per micro-batch, and
+    ``_prior_epoch_paths`` reads them ALL each batch — after 10^4
+    batches that is 10^4 directory listings per step. Compaction keeps
+    the read set O(1) between calls.
+
+    Crash-safe without coordination: the merged data is written INTO
+    the highest committed epoch (so any future batch's strictly-below
+    read still selects it) before the lower epochs are deleted. A
+    crash in between leaves rows duplicated across epochs — harmless,
+    because ``incremental_lsh_candidates`` dedups pairs with a
+    groupBy, and the next compaction removes the leftovers. Only run
+    between ``run_stream_dedup`` calls (the stream reads the index
+    inside its own batches).
+    """
+    import shutil
+
+    index = os.path.join(workdir, "index")
+    epochs = sorted(
+        (d for d in glob.glob(os.path.join(index, "epoch=*")) if _is_complete(d)),
+        key=lambda d: int(os.path.basename(d).split("=", 1)[1]),
+    )
+    if len(epochs) < 2:
+        return 0
+    target = epochs[-1]
+    merged = spark.read.parquet(*epochs).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(target)
+    _mark_committed(target)
+    for d in epochs[:-1]:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(epochs) - 1
