@@ -189,8 +189,13 @@ def test_stream_crawl_restart_resumes_from_checkpoint(spark, tmp_path):
         spark, docs_df, rules, seeds, cfg, n_steps=3, workdir=wd, stop_after=1
     )
     assert first["steps"] == 1  # stopped mid-crawl
+    # explicit generous stream timeout: under full-suite load this
+    # resumed query has flaked past the 300s default (observed once in
+    # a 476-test sweep); the assertion is about RESUME semantics, not
+    # the VM's worst-case scheduling latency
     resumed = run_stream_crawl(
-        spark, docs_df, rules, seeds, cfg, n_steps=3, workdir=wd
+        spark, docs_df, rules, seeds, cfg, n_steps=3, workdir=wd,
+        timeout_sec=600.0,
     )
     assert resumed["steps"] == 3  # batch ids continued 1, 2 — not 0
     got = [
@@ -212,7 +217,9 @@ def test_stream_crawl_restart_resumes_from_checkpoint(spark, tmp_path):
         timeout_sec=60.0,
     )
     assert again["steps"] == 3
-    assert _time.time() - t_start < 5.0
+    # far below the 60s timeout it must NOT block on; >5s has been seen
+    # for plain driver-side calls under full-suite load
+    assert _time.time() - t_start < 20.0
 
 
 @pytest.mark.parametrize("gate_mode", ["broadcast", "sharded"])
