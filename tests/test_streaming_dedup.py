@@ -111,3 +111,51 @@ def test_compact_dedup_index_preserves_results(spark, tmp_path):
     # a second compaction after more batches is a no-op-safe repeat
     assert compact_dedup_index(spark, wd) == 1
     assert compact_dedup_index(spark, wd) == 0
+
+
+def test_compact_dedup_index_crash_recovery(spark, tmp_path):
+    """Crash-safety of the staged compaction (round-7 ADVICE, medium —
+    the old in-place overwrite deleted the target epoch before the
+    merged rows were durable): at every crash point either the original
+    target epoch or a committed staging replacement exists, and both
+    entry points restore the committed view before reading."""
+    import shutil
+
+    from texting_robots_spark.streaming.dedup import (
+        _STAGING_PREFIX,
+        _recover_compaction,
+    )
+    from texting_robots_spark.streaming.loop import _is_complete, _mark_committed
+
+    wd = str(tmp_path / "sdx")
+    src = os.path.join(wd, "src")
+    os.makedirs(src)
+    rows = _clusters(n_groups=3)
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]
+    for i, chunk in enumerate(thirds):
+        _write_file(chunk, os.path.join(src, f"a{i}.parquet"))
+    res = run_stream_dedup(spark, wd)
+    index = os.path.join(wd, "index")
+    target = res["index"][-1]
+    target_id = os.path.basename(target).split("=", 1)[1]
+    full = sorted(map(tuple, spark.read.parquet(*res["index"]).collect()))
+
+    # crash point A: staging written but NOT committed -> discarded,
+    # target epoch untouched
+    staging = os.path.join(index, _STAGING_PREFIX + target_id)
+    spark.read.parquet(*res["index"]).write.parquet(staging)
+    _recover_compaction(index)
+    assert not os.path.exists(staging) and _is_complete(target)
+
+    # crash point B: staging committed, target renamed away (the window
+    # between the two renames) -> the next entry-point call completes
+    # the swap; no index rows are lost
+    spark.read.parquet(*res["index"]).write.parquet(staging)
+    _mark_committed(staging)
+    shutil.move(target, os.path.join(index, ".compact_trash"))
+    assert not os.path.exists(target)
+    res2 = run_stream_dedup(spark, wd)  # runs _recover_compaction first
+    assert res2["batches"] == 0
+    assert _is_complete(target)
+    merged = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert merged == full  # the recovered target holds the full merge

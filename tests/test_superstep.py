@@ -461,3 +461,39 @@ def test_refresh_priorities_indegree_and_passthrough(spark):
     assert got["https://a.example/x"] == (round(0.5 * 0.4 + 0.5 * 0.75, 6), "queued")
     assert got["https://b.example/y"] == (round(0.5 * 0.8, 6), "queued")
     assert got["https://c.example/z"] == (0.2, "fetched")
+
+
+def test_refresh_step_folds_delta_keys_into_bloom(spark, universe, tmp_path):
+    """Deferred bloom increments + refresh (round-7 ADVICE, high):
+    refresh_step snapshots mid-delta-chain, and write_snapshot resets
+    the chain — so the carried filters must fold in the uncompacted
+    deltas' keys (base filters cover base keys only under the r6
+    deferral policy). A base-only carry would make every URL the deltas
+    added probe definitely-new next step and re-queue over fetched
+    rows. The invariant: after ANY refresh snapshot, every frontier key
+    probes maybe_seen."""
+    from texting_robots_spark.operators.seen import probe_bloom
+
+    _, _, seeds, docs_df, robots_df = universe
+    cfg = CrawlConfig(
+        agent="TRSBot",
+        per_host_k=4,
+        step_seconds=10.0,
+        default_delay=0.5,
+        bloom=BloomConfig(n_partitions=8, n_bits=1 << 16, n_hashes=4),
+        refresh_every=1,  # refresh fires with exactly one pending delta
+    )
+    # compact_every=4 (default) > refresh_every: the refresh always
+    # snapshots mid-chain — the ADVICE scenario
+    store = FrontierStore(str(tmp_path / "rb"), n_buckets=8)
+    run_crawl(spark, store, docs_df, robots_df, seeds, cfg, n_steps=2)
+    assert store.pending_deltas() == 0  # refresh snapshot reset the chain
+    filters = store.read_filters(spark)
+    assert filters is not None
+    keys = store.read_frontier(spark).select("url_hash")
+    missed = (
+        probe_bloom(keys, filters, cfg.bloom)
+        .where(~F.col("maybe_seen"))
+        .count()
+    )
+    assert missed == 0  # delta-added keys are covered post-refresh

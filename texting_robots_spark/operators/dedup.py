@@ -597,6 +597,7 @@ def connected_components(
         pairs.select(hi, lo).where(F.col("hi") != F.col("lo")).distinct()
     ).persist()
     prev_fp = None
+    converged = False
     for _ in range(max_iter):
         # large-star(E): symmetrize; every center u points its LARGER
         # neighbors v at m = min(Γ(u) ∪ {u}); edges stay (hi, lo)
@@ -644,8 +645,21 @@ def connected_components(
         edges.unpersist()
         edges = new_edges
         if prev_fp == (fp["n"], fp["h"]):
+            converged = True
             break
         prev_fp = (fp["n"], fp["h"])
+    if not converged:
+        # Downstream consumers (resolve_duplicates' left join) assume one
+        # row per non-isolated node, which only per-component stars
+        # guarantee — surface a max_iter exit loudly instead of returning
+        # a silently-partial contraction (round-7 ADVICE).
+        _LOG.warning(
+            "connected_components: edge-set fingerprint did not converge "
+            "within max_iter=%d rounds — output may not be per-component "
+            "stars (multiple rows per node possible downstream). Re-run "
+            "with a larger max_iter.",
+            max_iter,
+        )
     out = edges.select(
         F.col("hi").alias("node"), F.col("lo").alias("component")
     )
@@ -687,6 +701,7 @@ def incremental_lsh_candidates(
     band_size: int = 2,
     base_hash: str = "xxhash64",
     max_bucket_size: Optional[int] = None,
+    new_index: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs for a NEW batch of documents
     against (a) itself and (b) a persisted ``lsh_band_index`` of the
@@ -713,11 +728,18 @@ def incremental_lsh_candidates(
     O(m_new * m_base). A pair that also shares an unsaturated bucket
     keeps ``via_representative=false``, same convention as
     ``capped_bucket_pairs``.
+
+    ``new_index`` (optional) is a precomputed ``lsh_band_index`` of the
+    batch (same id_col/n_hashes/band_size/base_hash): callers that also
+    PERSIST the batch's index (the streaming dedup writes it as the next
+    epoch) pass it here so shingling+hashing — the dominant per-batch
+    cost — runs once instead of twice (round-7 ADVICE).
     """
-    sig = minhash_signature(
-        new_docs.select(id_col, text_col), text_col, n_hashes, base_hash
-    )
-    new_index = lsh_band_index(sig, id_col, n_hashes, band_size, base_hash)
+    if new_index is None:
+        sig = minhash_signature(
+            new_docs.select(id_col, text_col), text_col, n_hashes, base_hash
+        )
+        new_index = lsh_band_index(sig, id_col, n_hashes, band_size, base_hash)
 
     nn = capped_bucket_pairs(
         new_index, id_col, ["band", "bucket"], max_bucket_size=max_bucket_size

@@ -910,9 +910,22 @@ def refresh_step(spark: SparkSession, store: FrontierStore, cfg: CrawlConfig) ->
     )
     filters = store.read_filters(spark)
     if filters is not None:
-        from ..operators.seen import merge_bloom
+        from ..operators.seen import build_bloom, merge_bloom
 
-        filters = merge_bloom(filters, filters.limit(0))  # one row/partition
+        if store.pending_deltas():
+            # Deferred-increment catch-up (round-7 ADVICE, high): under
+            # the r6 deferral policy the carried filters cover BASE keys
+            # only, and write_snapshot resets the delta chain — so the
+            # uncompacted deltas' keys must fold into the bloom here
+            # (mirroring commit_step's compaction catch-up) or the next
+            # frontier_step probes them definitely-new and re-queues
+            # already-fetched URLs over their fetched rows.
+            filters = merge_bloom(
+                filters,
+                build_bloom(store.read_keys(spark, deltas_only=True), cfg.bloom),
+            )
+        else:
+            filters = merge_bloom(filters, filters.limit(0))  # one row/partition
     store.write_snapshot(
         refreshed,
         filters,

@@ -77,6 +77,9 @@ def run_stream_dedup(
     os.makedirs(src, exist_ok=True)
     os.makedirs(out, exist_ok=True)
     os.makedirs(index, exist_ok=True)
+    # finish (or discard) an interrupted compaction before reading the
+    # epoch set — see compact_dedup_index's crash-safety contract
+    _recover_compaction(index)
 
     bucket_t = "string" if base_hash == "md5" else "bigint"
     index_ddl = f"doc_id string, band int, bucket {bucket_t}"
@@ -89,27 +92,36 @@ def run_stream_dedup(
         else:
             base_index = spark.createDataFrame([], index_ddl)
         batch = batch_df.select("doc_id", "text")
-        pairs = incremental_lsh_candidates(
-            batch,
-            base_index,
-            n_hashes=n_hashes,
-            band_size=band_size,
-            base_hash=base_hash,
-            max_bucket_size=max_bucket_size,
-        )
+        # the batch's band index has two consumers (the pairing step and
+        # the epoch write below): compute the shingling+hashing — the
+        # dominant per-batch cost — ONCE and cache it across both
+        # (round-7 ADVICE: the old shape rebuilt it inside
+        # incremental_lsh_candidates and again for the index write)
         new_index = lsh_band_index(
             minhash_signature(batch, "text", n_hashes, base_hash),
             n_hashes=n_hashes,
             band_size=band_size,
             base_hash=base_hash,
-        )
-        pair_dir = os.path.join(out, f"epoch={batch_id}")
-        index_dir = os.path.join(index, f"epoch={batch_id}")
-        # overwrite = atomic idempotent replay of a crashed batch
-        pairs.write.mode("overwrite").parquet(pair_dir)
-        _mark_committed(pair_dir)
-        new_index.write.mode("overwrite").parquet(index_dir)
-        _mark_committed(index_dir)
+        ).cache()
+        try:
+            pairs = incremental_lsh_candidates(
+                batch,
+                base_index,
+                n_hashes=n_hashes,
+                band_size=band_size,
+                base_hash=base_hash,
+                max_bucket_size=max_bucket_size,
+                new_index=new_index,
+            )
+            pair_dir = os.path.join(out, f"epoch={batch_id}")
+            index_dir = os.path.join(index, f"epoch={batch_id}")
+            # overwrite = atomic idempotent replay of a crashed batch
+            pairs.write.mode("overwrite").parquet(pair_dir)
+            _mark_committed(pair_dir)
+            new_index.write.mode("overwrite").parquet(index_dir)
+            _mark_committed(index_dir)
+        finally:
+            new_index.unpersist()
         processed["n"] += 1
 
     stream = (
@@ -139,6 +151,31 @@ def run_stream_dedup(
     }
 
 
+_STAGING_PREFIX = ".compact_staging_epoch="
+_TRASH_DIR = ".compact_trash"
+
+
+def _recover_compaction(index: str) -> None:
+    """Finish or discard an interrupted ``compact_dedup_index``.
+
+    Invariant the staging protocol maintains: the target epoch dir is
+    only ever renamed away AFTER its full replacement (old target rows
+    included) is durable and marked in the staging dir — so at every
+    crash point either the original target or a committed staging copy
+    exists, and this sweep restores the committed view."""
+    import shutil
+
+    for s in glob.glob(os.path.join(index, _STAGING_PREFIX + "*")):
+        target = os.path.join(
+            index, "epoch=" + os.path.basename(s).split("=", 1)[1]
+        )
+        if _is_complete(s) and not os.path.exists(target):
+            os.replace(s, target)  # crash fell between the two renames
+        else:
+            shutil.rmtree(s, ignore_errors=True)
+    shutil.rmtree(os.path.join(index, _TRASH_DIR), ignore_errors=True)
+
+
 def compact_dedup_index(spark: SparkSession, workdir: str) -> int:
     """Merge every committed index epoch into the newest one and drop
     the rest; returns the number of epochs removed. A daily-ingest
@@ -147,18 +184,27 @@ def compact_dedup_index(spark: SparkSession, workdir: str) -> int:
     batches that is 10^4 directory listings per step. Compaction keeps
     the read set O(1) between calls.
 
-    Crash-safe without coordination: the merged data is written INTO
-    the highest committed epoch (so any future batch's strictly-below
-    read still selects it) before the lower epochs are deleted. A
-    crash in between leaves rows duplicated across epochs — harmless,
-    because ``incremental_lsh_candidates`` dedups pairs with a
-    groupBy, and the next compaction removes the leftovers. Only run
-    between ``run_stream_dedup`` calls (the stream reads the index
-    inside its own batches).
+    Crash-safe via staging + atomic renames (round-7 ADVICE: the old
+    in-place overwrite deleted the target epoch — including its
+    _COMMITTED marker — before the merged rows were durable, so a crash
+    mid-write silently lost that epoch's rows forever): the merge is
+    written to a staging dir and marked committed there; only then is
+    the old target renamed aside and the staging dir renamed over it
+    (both single atomic renames). ``_recover_compaction`` — run at the
+    top of this function and of ``run_stream_dedup`` — completes the
+    swap if the crash fell between the renames and discards uncommitted
+    staging leftovers otherwise, so the original target stays intact
+    until its replacement is fully committed. Lower epochs are deleted
+    last; a crash before that leaves rows duplicated across epochs —
+    harmless (``incremental_lsh_candidates`` dedups pairs with a
+    groupBy), and the next compaction removes them. Only run between
+    ``run_stream_dedup`` calls (the stream reads the index inside its
+    own batches).
     """
     import shutil
 
     index = os.path.join(workdir, "index")
+    _recover_compaction(index)
     epochs = sorted(
         (d for d in glob.glob(os.path.join(index, "epoch=*")) if _is_complete(d)),
         key=lambda d: int(os.path.basename(d).split("=", 1)[1]),
@@ -166,9 +212,18 @@ def compact_dedup_index(spark: SparkSession, workdir: str) -> int:
     if len(epochs) < 2:
         return 0
     target = epochs[-1]
-    merged = spark.read.parquet(*epochs).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(target)
-    _mark_committed(target)
+    target_id = os.path.basename(target).split("=", 1)[1]
+    staging = os.path.join(index, _STAGING_PREFIX + target_id)
+    shutil.rmtree(staging, ignore_errors=True)
+    # reads epochs, writes staging — input dirs untouched, so no
+    # localCheckpoint materialization is needed anymore
+    spark.read.parquet(*epochs).write.parquet(staging)
+    _mark_committed(staging)
+    trash = os.path.join(index, _TRASH_DIR)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.replace(target, trash)
+    os.replace(staging, target)
+    shutil.rmtree(trash, ignore_errors=True)
     for d in epochs[:-1]:
         shutil.rmtree(d, ignore_errors=True)
     return len(epochs) - 1
