@@ -75,6 +75,17 @@ def _bit_positions(url_hash: np.ndarray, cfg: BloomConfig) -> Iterable[np.ndarra
 
 
 def with_partition_id(df: DataFrame, cfg: BloomConfig, hash_col: str = "url_hash") -> DataFrame:
+    """Key ``df`` by the filter partition: pmod(hash, n_partitions).
+
+    A pre-existing ``partition_id`` column is REUSED as-is (round 7):
+    callers that already clustered on it (link_candidates'
+    ``cluster_partitions`` path) keep their hash-partitioning, so the
+    build/probe cogroup needs no further exchange. Contract: such a
+    column must hold exactly ``pmod(hash_col, n_partitions)`` for THIS
+    config — re-deriving it here would mint a fresh attribute and
+    silently discard the upstream partitioning."""
+    if "partition_id" in df.columns:
+        return df
     return df.withColumn(
         "partition_id", F.pmod(F.col(hash_col), F.lit(cfg.n_partitions)).cast("int")
     )
@@ -149,7 +160,10 @@ def probe_bloom(
     cols = [f.name for f in candidates.schema.fields]
 
     def _probe(key, cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
-        cand = cand.drop(columns=["partition_id"])
+        if "partition_id" not in cols:
+            # only synthesized keys are dropped; a caller-supplied
+            # partition_id column is part of the declared output
+            cand = cand.drop(columns=["partition_id"])
         if len(cand) == 0:
             return cand.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(filt) == 0:

@@ -48,7 +48,13 @@ def compact_frontier(
     only queued rows, and cuckoo filters covering EVERY url_hash ever
     seen (queued + archived). Returns counts.
     """
-    frontier = store.read_frontier(spark)
+    # The reconstructed frontier (merge-on-read: base + delta chain +
+    # latest-wins window) has FIVE consumers below — the cuckoo build,
+    # the archive write, both counts, and the queued-only snapshot.
+    # Cache it so the reconstruction runs once instead of once per
+    # consumer (round 7: the uncached shape recomputed the union+window
+    # five times and dominated the recrawl cycle's wall time).
+    frontier = store.read_frontier(spark).cache()
     queued = frontier.where(F.col("state") == "queued")
     done = frontier.where(F.col("state") != "queued")
     # Build + CHECK the filters BEFORE any destructive write: a dropped
@@ -79,11 +85,16 @@ def compact_frontier(
         )
     finally:
         filters.unpersist()
+        frontier.unpersist()
     return {"queued": n_q, "archived": n_a, "dropped": int(n_dropped)}
 
 
 def _read_cuckoo(spark: SparkSession, store: FrontierStore) -> DataFrame:
-    return spark.read.parquet(os.path.join(store.root, "cuckoo_filters"))
+    from ..operators.cuckoo import CUCKOO_DDL
+
+    return spark.read.schema(CUCKOO_DDL).parquet(
+        os.path.join(store.root, "cuckoo_filters")
+    )
 
 
 def dedup_candidates_cuckoo(

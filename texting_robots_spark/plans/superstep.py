@@ -369,21 +369,45 @@ def schedule_batch(
     return ranked
 
 
-def link_candidates(links: DataFrame, base_hash: str = "xxhash64") -> DataFrame:
+def link_candidates(
+    links: DataFrame,
+    base_hash: str = "xxhash64",
+    cluster_partitions: Optional[int] = None,
+) -> DataFrame:
     """(url, depth) link rows -> canonical, in-batch-deduped frontier
     candidates: canonicalize, drop non-absolute, key by url_hash, keep
     min url/host and min parent depth + 1, priority = 1/(1+depth).
     Shared by the batch superstep and the streaming crawl loop so both
     derive bit-identical candidate sets. ``base_hash='md5'`` swaps the
     url_hash expression for the DuckDB-reproducible 60-bit variant (the
-    ``superstep_one_step`` driver oracle); production stays xxhash64."""
-    return (
+    ``superstep_one_step`` driver oracle); production stays xxhash64.
+
+    ``cluster_partitions`` (round 7): when set to the bloom config's
+    ``n_partitions``, the dedup aggregate is pre-clustered on
+    ``partition_id = pmod(url_hash, P)`` — one exchange that BOTH the
+    dedup groupBy (partition_id is functionally dependent on url_hash,
+    so grouping by the pair is the same grouping) and the downstream
+    bloom-probe cogroup then satisfy, instead of one url_hash exchange
+    for the dedup plus a second partition_id exchange for the probe.
+    The output then carries the extra ``partition_id`` column, which
+    ``probe_bloom``/``with_partition_id`` reuse as-is. Same rows, same
+    values, one candidate-set shuffle fewer per superstep."""
+    keyed = (
         links.withColumn("url_c", canonicalize_udf("url"))
         .where(F.col("url_c").isNotNull())
         .select(F.col("url_c").alias("url"), "depth")
         .transform(lambda df: _with_keys(df, base_hash=base_hash))
-        .groupBy("url_hash")
-        .agg(
+    )
+    if cluster_partitions:
+        keyed = keyed.withColumn(
+            "partition_id",
+            F.pmod(F.col("url_hash"), F.lit(int(cluster_partitions))).cast("int"),
+        ).repartition(int(cluster_partitions), "partition_id")
+        grouped = keyed.groupBy("partition_id", "url_hash")
+    else:
+        grouped = keyed.groupBy("url_hash")
+    return (
+        grouped.agg(
             F.min("url").alias("url"),
             F.min("host").alias("host"),
             (F.min("depth") + 1).alias("depth"),
@@ -593,30 +617,28 @@ def _frontier_step_impl(
         F.sum(F.col("allowed").cast("long")).alias("f"),
         F.count(F.lit(1)).alias("n"),
     ]
-    # 2 counters x partition stays cheap as Observation columns up to a
-    # few dozen partitions; past that a dedicated lineage agg job (one
-    # groupBy-collect over the cached gate output) is the better trade.
-    # Each column is ONE F.expr py4j call: building the same tree from
-    # F.sum(F.when(...)) costs ~10 round trips per column (measured ~1s
-    # of plan-build driver time per step at 32 partitions); a dedicated
-    # per-step lineage job costs ~0.4s — the parsed-string Observation
-    # is the cheapest of the three shapes.
+    # Per-partition lineage counters ride the plan as TWO array-valued
+    # Observation columns (round 7; previously 2 x n_partitions scalar
+    # columns = 64 F.expr py4j calls and 64 analyzer-visible aggregates
+    # per step — the array form is one parse per side and collapses the
+    # plan-build cost to O(1) columns). Cheap as Observation columns up
+    # to a few dozen partitions; past that a dedicated lineage agg job
+    # (one groupBy-collect over the cached gate output) is the better
+    # trade.
     obs_lineage = cfg.bloom.n_partitions <= 64
     if obs_lineage:
         P = cfg.bloom.n_partitions
-        for i in range(P):
-            obs_cols.append(
-                F.expr(
-                    f"sum(CASE WHEN pmod(url_hash, {P}) = {i} "
-                    f"THEN 1 ELSE 0 END) AS l{i}"
-                )
-            )
-            obs_cols.append(
-                F.expr(
-                    f"sum(CASE WHEN pmod(url_hash, {P}) = {i} "
-                    f"THEN CAST(allowed AS LONG) ELSE 0 END) AS a{i}"
-                )
-            )
+        l_terms = ",".join(
+            f"sum(CASE WHEN pmod(url_hash,{P})={i} THEN 1 ELSE 0 END)"
+            for i in range(P)
+        )
+        a_terms = ",".join(
+            f"sum(CASE WHEN pmod(url_hash,{P})={i} "
+            f"THEN CAST(allowed AS LONG) ELSE 0 END)"
+            for i in range(P)
+        )
+        obs_cols.append(F.expr(f"array({l_terms}) AS larr"))
+        obs_cols.append(F.expr(f"array({a_terms}) AS aarr"))
     gated = gated_raw.observe(obs_gate, *obs_cols).cache()
     fetched_batch = gated.where(F.col("allowed"))
     disallowed_batch = gated.where(~F.col("allowed"))
@@ -660,7 +682,13 @@ def _frontier_step_impl(
     links = extract_links(
         fetched_docs.select("doc_id", "depth", "spans"), passthrough=("depth",)
     )
-    candidates = link_candidates(links)
+    # pre-cluster the candidate dedup on the bloom partition key so the
+    # dedup groupBy and the probe cogroup share ONE exchange (round 7;
+    # see link_candidates) — only when the bloom path will consume it
+    candidates = link_candidates(
+        links,
+        cluster_partitions=cfg.bloom.n_partitions if filters is not None else None,
+    )
     if cfg.refresh_every:
         # record this step's in-degree increment for the periodic
         # priority refresh (run_crawl). Cached so the write (the first
@@ -818,11 +846,12 @@ def _frontier_step_impl(
             [(step, n_scheduled, n_fetched, n_disallowed, n_new)]
         )
         if obs_lineage:
+            larr, aarr = vals["larr"], vals["aarr"]
             store.append_lineage_rows(
                 [
-                    (i, int(vals[f"l{i}"] or 0), int(vals[f"a{i}"] or 0), step)
+                    (i, int(larr[i] or 0), int(aarr[i] or 0), step)
                     for i in range(cfg.bloom.n_partitions)
-                    if int(vals[f"l{i}"] or 0) > 0
+                    if int(larr[i] or 0) > 0
                 ]
             )
         else:

@@ -33,6 +33,13 @@ FRONTIER_DDL = (
     "url_hash long, url string, host string, priority double, depth int, "
     "state string, not_before double, partition_salt int"
 )
+# delta commits carry the frontier columns minus the bucketing salt
+DELTA_DDL = FRONTIER_DDL.rsplit(", ", 1)[0]
+HOST_STATE_DDL = "host string, next_allowed double"
+# Store reads pass these schemas explicitly (spark.read.schema(...)):
+# the store owns its layout, so per-read parquet schema inference — a
+# driver-side footer read on every file of every snapshot table, paid
+# three tables x every superstep — is pure overhead (guide §6/§7.3).
 
 
 class FrontierStore:
@@ -113,30 +120,53 @@ class FrontierStore:
     ) -> int:
         """Write the next snapshot and commit the manifest (checkpoint)."""
         version = self.current_version() + 1
+
         # bucket the frontier by url_hash so seen-checks and merges are
         # co-partitioned across supersteps (stable partitioning = no
         # avoidable shuffle on the next read)
-        (
-            frontier.withColumn(
-                "partition_salt",
-                F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"),
+        def _frontier_write():
+            (
+                frontier.withColumn(
+                    "partition_salt",
+                    F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"),
+                )
+                .repartition(self.n_buckets, "partition_salt")
+                .write.mode("overwrite")
+                .option("compression", self.codec)
+                .parquet(self._snap_dir(version, "frontier"))
             )
-            .repartition(self.n_buckets, "partition_salt")
-            .write.mode("overwrite")
-            .option("compression", self.codec)
-            .parquet(self._snap_dir(version, "frontier"))
-        )
+
+        # politeness token-bucket (host_state): one row per ACTIVE host
+        # — a real table, not manifest JSON, so 10^7-host crawls
+        # checkpoint without a driver-side blob. The three tables land
+        # in independent directories under an uncommitted version, so
+        # their writes run concurrently from driver threads (same
+        # overlap as commit_step's delta+host_state pair); the manifest
+        # commit below happens only after ALL succeed.
+        side_writes = []
         if filters is not None:
-            filters.write.mode("overwrite").option("compression", self.codec).parquet(
-                self._snap_dir(version, "filters")
+            side_writes.append(
+                lambda: filters.write.mode("overwrite")
+                .option("compression", self.codec)
+                .parquet(self._snap_dir(version, "filters"))
             )
         if host_state is not None:
-            # politeness token-bucket: one row per ACTIVE host — a real
-            # table, not manifest JSON, so 10^7-host crawls checkpoint
-            # without a driver-side blob
-            host_state.write.mode("overwrite").option(
-                "compression", self.codec
-            ).parquet(self._snap_dir(version, "host_state"))
+            side_writes.append(
+                lambda: host_state.write.mode("overwrite")
+                .option("compression", self.codec)
+                .parquet(self._snap_dir(version, "host_state"))
+            )
+        if side_writes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1 + len(side_writes)) as pool:
+                futures = [pool.submit(_frontier_write)] + [
+                    pool.submit(w) for w in side_writes
+                ]
+                for f in futures:
+                    f.result()
+        else:
+            _frontier_write()
         manifest = self._read_manifest()
         manifest["current"] = version
         manifest["base"] = version  # full snapshot resets the delta chain
@@ -245,7 +275,9 @@ class FrontierStore:
         if base < 0:
             full = spark.createDataFrame([], FRONTIER_DDL)
         else:
-            full = spark.read.parquet(self._snap_dir(base, "frontier"))
+            full = spark.read.schema(FRONTIER_DDL).parquet(
+                self._snap_dir(base, "frontier")
+            )
         if not deltas:
             return full
         # merge-on-read, latest-wins: ONE union + window over (url_hash,
@@ -266,7 +298,8 @@ class FrontierStore:
         parts = [full.select(*cols).withColumn("_v", F.lit(base))]
         for d in sorted(deltas):
             parts.append(
-                spark.read.parquet(self._snap_dir(d, "delta"))
+                spark.read.schema(DELTA_DDL)
+                .parquet(self._snap_dir(d, "delta"))
                 .select(*cols)
                 .withColumn("_v", F.lit(d))
             )
@@ -309,13 +342,10 @@ class FrontierStore:
         paths += [self._snap_dir(d, "delta") for d in manifest.get("deltas", [])]
         if not paths:
             return spark.createDataFrame([], "url_hash long")
-        # per-path reads (base carries partition_salt, deltas don't —
-        # select before union so the schemas never have to line up)
-        out = None
-        for p in paths:
-            part = spark.read.parquet(p).select("url_hash")
-            out = part if out is None else out.unionByName(part)
-        return out
+        # single multi-path scan, column-pruned to url_hash by the
+        # explicit schema (parquet reads by name, so the base's extra
+        # partition_salt column never has to line up with the deltas)
+        return spark.read.schema("url_hash long").parquet(*paths)
 
     def read_filters(self, spark: SparkSession) -> Optional[DataFrame]:
         """Base filters plus all delta increments (union of rows; the
@@ -331,7 +361,9 @@ class FrontierStore:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        from ..operators.seen import FILTERS_DDL
+
+        return spark.read.schema(FILTERS_DDL).parquet(*paths)
 
     def read_host_state(self, spark: SparkSession) -> Optional[DataFrame]:
         """The most recent snapshot/delta that carries a host_state table
@@ -340,7 +372,7 @@ class FrontierStore:
         for v in range(manifest["current"], -1, -1):
             path = self._snap_dir(v, "host_state")
             if os.path.exists(path):
-                return spark.read.parquet(path)
+                return spark.read.schema(HOST_STATE_DDL).parquet(path)
         return None
 
     # -- MERGE ------------------------------------------------------------
