@@ -85,15 +85,24 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cos_sim, rank), self-matches excluded.
     """
+    # Norms are computed ONCE per side before the pair join (round 7):
+    # inlining them into the per-pair expression re-evaluated each
+    # O(dim) norm fold |queries| resp. |corpus| times over — identical
+    # doubles (same fold over the same row), a third of the per-pair
+    # expression work.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     sim = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        / (F.col("q_norm") * F.col("c_norm")),
         round_digits,
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -154,6 +154,8 @@ def schedule_recrawl(
         raw = urls.select(F.col(urls.columns[0]).alias("raw"))
     else:
         raw = spark.createDataFrame([(u,) for u in urls], "raw string")
+    # three consumers below (known-inserted screen, MERGE, return count):
+    # cache so the canonicalize UDF + dedup aggregate run once (round 7)
     rows = (
         raw.withColumn("url", canonicalize_udf("raw"))
         .where(F.col("url").isNotNull())
@@ -177,7 +179,7 @@ def schedule_recrawl(
                 for c in ("url", "host", "priority", "depth", "state", "not_before")
             ]
         )
-    )
+    ).cache()
     filters = _read_cuckoo(spark, store)
     # Screen before deleting. Deleting a never-inserted hash can evict
     # another URL's entry on a fingerprint collision (violating
@@ -194,9 +196,12 @@ def schedule_recrawl(
     known = store.read_frontier(spark).select("url_hash")
     if os.path.exists(_archive_dir(store)):
         known = known.unionByName(
-            spark.read.parquet(_archive_dir(store)).select("url_hash")
+            spark.read.schema("url_hash long").parquet(_archive_dir(store))
         )
-    inserted = rows.select("url_hash").join(known.distinct(), "url_hash", "left_semi")
+    # no distinct on the semi-join's right side: semi-join semantics
+    # dedup it for free, and the distinct was a whole extra shuffle of
+    # the frontier+archive key set (round 7)
+    inserted = rows.select("url_hash").join(known, "url_hash", "left_semi")
     present = (
         probe_cuckoo(inserted, filters, cfg)
         .where(F.col("maybe_seen"))
@@ -214,7 +219,10 @@ def schedule_recrawl(
         os.path.join(store.root, "cuckoo_filters_next"),
         os.path.join(store.root, "cuckoo_filters"),
     )
-    frontier = store.read_frontier(spark)
-    merged = FrontierStore.merge_frontier(frontier, rows)
-    store.write_snapshot(merged, filters=None, meta=store.meta())
-    return rows.count()
+    try:
+        frontier = store.read_frontier(spark)
+        merged = FrontierStore.merge_frontier(frontier, rows)
+        store.write_snapshot(merged, filters=None, meta=store.meta())
+        return rows.count()
+    finally:
+        rows.unpersist()

@@ -199,7 +199,19 @@ def seed_frontier(spark: SparkSession, seeds, cfg: CrawlConfig) -> DataFrame:
     if isinstance(seeds, DataFrame):
         raw = seeds.select(F.col(seeds.columns[0]).alias("raw_url"))
     else:
-        raw = spark.createDataFrame([(s,) for s in seeds], "raw_url string")
+        # size the parallelize to the DATA, not the core count: a small
+        # operator-supplied seed list split across defaultParallelism
+        # slices pays one Arrow/worker round-trip per core for
+        # microseconds of canonicalize work each (round 7; ~4k URLs per
+        # task keeps even a 10^5-seed list parallel)
+        slices = max(
+            1,
+            min(len(seeds) // 4096 + 1, spark.sparkContext.defaultParallelism),
+        )
+        raw = spark.createDataFrame(
+            spark.sparkContext.parallelize([(s,) for s in seeds], slices),
+            "raw_url string",
+        )
     return (
         raw.withColumn("url", canonicalize_udf("raw_url"))
         .where(F.col("url").isNotNull())
@@ -758,14 +770,10 @@ def _frontier_step_impl(
         F.lit("disallowed").alias("state"),
         F.lit(float("inf")).alias("not_before"),
     )
-    # coalesce (no shuffle) so the delta lands as ~n_buckets files: the
-    # three-way union would otherwise write 3-4x shuffle.partitions tiny
-    # files per step, and every later merge-on-read pays the listing
-    updates = (
-        done.unionByName(denied)
-        .unionByName(new_rows)
-        .coalesce(store.n_buckets)
-    )
+    # the three-way union would otherwise write 3-4x shuffle.partitions
+    # tiny files per step; the delta file count itself is decided AFTER
+    # the step counts are known (below) — data-adaptive, not a constant
+    updates = done.unionByName(denied).unionByName(new_rows)
     # DEFERRED bloom maintenance (r6): non-compacting steps write no
     # filter increment at all — their new keys ride the delta-key
     # anti-join above until compaction. On the step whose commit WILL
@@ -821,6 +829,23 @@ def _frontier_step_impl(
     # aggregate, honest phase boundaries.
     new_rows.count()
     _mark("step compute (schedule+gate+fetch+links+seen)")
+    vals = obs_gate.get
+    n_scheduled = int(vals["n"] or 0)
+    n_fetched = int(vals["f"] or 0)
+    n_disallowed = n_scheduled - n_fetched
+    n_new = int(obs_new.get["n"] or 0)
+    # Data-adaptive delta file sizing (guide §6, round 7): the step
+    # counts are already on the driver (Observation counters fired with
+    # the materializing count above), so target ~64k rows per delta
+    # file instead of always writing n_buckets files — a 7k-row sandbox
+    # delta lands as 1 file (and every later merge-on-read lists 1 file
+    # per delta), while a 10^7-row production batch still fans out to
+    # the full n_buckets. coalesce only (never a shuffle), over the
+    # step's already-cached slices.
+    n_updates = n_scheduled + n_new
+    updates = updates.coalesce(
+        max(1, min(store.n_buckets, (n_updates >> 16) + 1))
+    )
     # DELTA commit: per-step write cost is O(batch) rows, not a
     # full-frontier rewrite; the store compacts to a full base every
     # compact_every steps (merge-on-read in between), and the one bloom
@@ -833,11 +858,6 @@ def _frontier_step_impl(
         host_state=new_host_state,
     )
     _mark("commit_step")
-    vals = obs_gate.get
-    n_scheduled = int(vals["n"] or 0)
-    n_fetched = int(vals["f"] or 0)
-    n_disallowed = n_scheduled - n_fetched
-    n_new = int(obs_new.get["n"] or 0)
     if n_scheduled > 0:
         # metrics + lineage rows are already on the driver (Observation
         # counters); append them as one tiny pyarrow file each instead
