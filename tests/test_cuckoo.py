@@ -47,3 +47,31 @@ def test_cuckoo_delete_enables_recrawl(spark):
     # the NOT-deleted remainder must all still be present (no false negs)
     kept = _hashed(spark, urls[500:])
     assert probe_cuckoo(kept, updated, CFG).where(~F.col("maybe_seen")).count() == 0
+
+
+def test_insert_many_matches_sequential_insert():
+    """insert_many is the batch twin of insert(): identical table bytes,
+    identical inserted/dropped counts, for random keys AND an
+    over-capacity table that exercises eviction chains and drops."""
+    import numpy as np
+
+    from texting_robots_spark.operators.cuckoo import CuckooConfig, _CuckooTable
+
+    rng = np.random.default_rng(123)
+    for n_buckets, n_keys in [(1 << 10, 3000), (1 << 4, 500), (1 << 2, 64)]:
+        cfg = CuckooConfig(n_partitions=1, n_buckets=n_buckets)
+        keys = rng.integers(0, 2**63, size=n_keys, dtype=np.int64).view(np.uint64)
+        keys = np.unique(keys)
+        seq = _CuckooTable(cfg)
+        n_seq = d_seq = 0
+        for h in keys:
+            if seq.insert(h):
+                n_seq += 1
+            else:
+                d_seq += 1
+        bat = _CuckooTable(cfg)
+        n_bat, d_bat = bat.insert_many(keys)
+        assert (n_bat, d_bat) == (n_seq, d_seq)
+        assert bat.tobytes() == seq.tobytes()
+        if n_buckets == 1 << 2:
+            assert d_seq > 0  # the tiny table actually overflowed

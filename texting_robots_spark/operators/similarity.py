@@ -172,6 +172,7 @@ def lsh_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
         bucket_of(F.col(vec_col)).alias("bucket"),
     )
     own = bucket_of(F.col(vec_col))
@@ -181,11 +182,13 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
+    # norms precomputed per side, not per pair (round 7, same move as
+    # cosine_topk — identical doubles, a third of the pair expression)
     sim = F.round(
-        _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
         4,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -378,7 +381,9 @@ def ivf_topk(
         centroids = ivf_train(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     c = ivf_assign(
         embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
         ),
         centroids,
         vec_col="c_vec",
@@ -386,11 +391,11 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(_probe_udf(centroids, n_probes)(F.col(vec_col))).alias("cell"),
     )
     sim = F.round(
-        _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
         round_digits,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -443,6 +448,7 @@ def ivf_topk_indexed(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(_probe_udf(centroids, n_probes)(F.col(vec_col))).alias("cell"),
     )
     # collect the probed cells from an UNcached plan: the probe UDF runs
@@ -456,12 +462,12 @@ def ivf_topk_indexed(
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
             "cell",
         )
     )
     sim = F.round(
-        _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
         round_digits,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -518,10 +524,24 @@ def embedding_near_dups(
     rep-centric edges; 'collapse' is still available, and every
     surviving edge is exact-cosine verified either way. Capped output
     gains a ``via_representative`` column."""
-    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # per-row norm computed once here; every branch carries it to the
+    # verify as na/nb instead of re-folding it per candidate pair
+    e = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
     if method == "exact":
-        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        a = e.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("va"),
+            F.col("_n").alias("na"),
+        )
+        b = e.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("vb"),
+            F.col("_n").alias("nb"),
+        )
         pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         # multi-table LSH (candidate union over n_tables independent
@@ -567,8 +587,20 @@ def embedding_near_dups(
             on_oversize=on_oversize,
         )
         pairs = cand.join(
-            e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
-        ).join(e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
+            e.select(
+                F.col("_id").alias("id_a"),
+                F.col("_v").alias("va"),
+                F.col("_n").alias("na"),
+            ),
+            "id_a",
+        ).join(
+            e.select(
+                F.col("_id").alias("id_b"),
+                F.col("_v").alias("vb"),
+                F.col("_n").alias("nb"),
+            ),
+            "id_b",
+        )
     elif method == "ivf":
         if centroids is None:
             centroids = ivf_train(
@@ -586,24 +618,38 @@ def embedding_near_dups(
                 on_oversize=on_oversize,
             )
             pairs = cand.join(
-                e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")),
+                e.select(
+                    F.col("_id").alias("id_a"),
+                    F.col("_v").alias("va"),
+                    F.col("_n").alias("na"),
+                ),
                 "id_a",
             ).join(
-                e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")),
+                e.select(
+                    F.col("_id").alias("id_b"),
+                    F.col("_v").alias("vb"),
+                    F.col("_n").alias("nb"),
+                ),
                 "id_b",
             )
         else:
             a = keyed.select(
-                F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_c"
+                F.col("_id").alias("id_a"),
+                F.col("_v").alias("va"),
+                F.col("_n").alias("na"),
+                "_c",
             )
             b = keyed.select(
-                F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_c"
+                F.col("_id").alias("id_b"),
+                F.col("_v").alias("vb"),
+                F.col("_n").alias("nb"),
+                "_c",
             )
             pairs = a.join(b, "_c").where(F.col("id_a") < F.col("id_b"))
     else:
         raise ValueError(f"unknown method: {method!r}")
     sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         round_digits,
     )
     out_cols = ["id_a", "id_b", "cos_sim"]

@@ -185,10 +185,16 @@ _LANG_PROFILES = {
 
 
 def lang_id_udf():
-    profiles = {
-        lang: {bg: len(bgs) - i for i, bg in enumerate(bgs)}
-        for lang, bgs in _LANG_PROFILES.items()
-    }
+    # inverted index bigram -> [(lang, weight)] (round 7): scoring walks
+    # the document's bigram counts ONCE and touches only the few
+    # languages that claim each bigram, instead of re-scanning the
+    # counts dict once per language (29x). Winner selection is identical
+    # to the old per-language loop: highest positive score, ties to the
+    # first language in sorted order, zero/empty -> 'und'.
+    index: dict = {}
+    for lang, bgs in _LANG_PROFILES.items():
+        for i, bg in enumerate(bgs):
+            index.setdefault(bg, []).append((lang, len(bgs) - i))
 
     @F.pandas_udf(T.StringType())
     def lang_id(text: pd.Series) -> pd.Series:
@@ -197,13 +203,16 @@ def lang_id_udf():
                 return "und"
             t = t.lower()
             counts = Counter(t[i : i + 2] for i in range(len(t) - 1))
-            best_lang, best_score = "und", 0
-            for lang in sorted(profiles):
-                w = profiles[lang]
-                score = sum(c * w[bg] for bg, c in counts.items() if bg in w)
-                if score > best_score:
-                    best_lang, best_score = lang, score
-            return best_lang
+            scores: dict = {}
+            for bg, c in counts.items():
+                for lang, wt in index.get(bg, ()):
+                    scores[lang] = scores.get(lang, 0) + c * wt
+            if not scores:
+                return "und"
+            # min over (-score, lang) == "highest score, ties to the
+            # sorted-first language" — the old loop's exact pick
+            score, lang = min((-s, lang) for lang, s in scores.items())
+            return lang if -score > 0 else "und"
 
         return text.map(guess)
 
