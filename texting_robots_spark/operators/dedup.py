@@ -608,6 +608,11 @@ def connected_components(
     edges = (
         pairs.select(hi, lo).where(F.col("hi") != F.col("lo")).distinct()
     ).persist()
+    # NOTE (round 7): an eager cache-fill (edges.count()) before the
+    # first round was A/B-tested and LOSES (~12.5s vs ~17.6s on the
+    # sf1.0 resolve line): the lazy fill lets round 0's union branches
+    # populate the cache inside one wide stage, while a dedicated count
+    # job serializes a full extra pass. Left lazy deliberately.
     prev_fp = None
     converged = False
     for _ in range(max_iter):
